@@ -1,0 +1,91 @@
+"""Single frozen-dataclass config (SURVEY.md §3 C21).
+
+All coefficient dims, camera constants, loss weights, and rasterizer tile
+parameters live here — no hidden constants in kernels. Defaults follow the
+Deep3DFace-family convention pinned in SURVEY.md §9 (coeff layout
+[id 80 | exp 64 | tex 80 | angles 3 | gamma 27 | t 3] = 257; camera f=1015,
+c=10 for a 224x224 plane).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FaceReconConfig:
+    # --- coefficient layout (SURVEY.md §9, total 257 by default) ---
+    n_id: int = 80
+    n_exp: int = 64
+    n_tex: int = 80
+    n_angles: int = 3
+    n_gamma: int = 27  # 9 SH coeffs per RGB channel
+    n_trans: int = 3
+
+    # --- mesh dims (configurable; full BFM09: 53490, cropped: 35709) ---
+    n_vertices: int = 35709
+    n_faces: int = 70789
+    n_landmarks: int = 68
+
+    # --- camera (SURVEY.md §9.3) ---
+    image_size: int = 224
+    focal: float = 1015.0
+    camera_distance: float = 10.0
+
+    # --- loss weights (SURVEY.md §9.7; tunable, not contractual) ---
+    w_photo: float = 1.9
+    w_landmark: float = 1.6e-3
+    w_reg_id: float = 1.0
+    w_reg_exp: float = 0.8
+    w_reg_tex: float = 1.7e-2
+    w_reg_scale: float = 3e-4
+    w_gamma: float = 10.0
+    landmark_weight_inner: float = 20.0  # nose + inner mouth up-weight
+
+    # --- rasterizer tiling (Pallas kernel, SURVEY.md §9.5) ---
+    tile_h: int = 8
+    tile_w: int = 128
+    # max candidate triangles per tile after binning; padded/truncated to this
+    max_tris_per_tile: int = 4096
+    # triangle chunk processed per inner kernel step
+    tri_chunk: int = 512
+
+    # --- training ---
+    batch_size: int = 32
+    learning_rate: float = 1e-4
+    train_steps: int = 200_000
+    checkpoint_every: int = 5_000
+
+    @property
+    def n_coeff(self) -> int:
+        return (self.n_id + self.n_exp + self.n_tex + self.n_angles
+                + self.n_gamma + self.n_trans)
+
+    @property
+    def coeff_split(self) -> Tuple[int, ...]:
+        """Cumulative split points for jnp.split over the coeff axis."""
+        sizes = (self.n_id, self.n_exp, self.n_tex, self.n_angles,
+                 self.n_gamma)
+        out, acc = [], 0
+        for s in sizes:
+            acc += s
+            out.append(acc)
+        return tuple(out)
+
+    @property
+    def center(self) -> float:
+        return self.image_size / 2.0
+
+
+def default_config(**overrides) -> FaceReconConfig:
+    return FaceReconConfig(**overrides)
+
+
+def tiny_config(**overrides) -> FaceReconConfig:
+    """Small mesh + image for fast CPU tests."""
+    base = dict(n_vertices=500, n_faces=900, image_size=64,
+                focal=1015.0 * 64 / 224, max_tris_per_tile=1024,
+                tri_chunk=128, batch_size=4)
+    base.update(overrides)
+    return FaceReconConfig(**base)

@@ -1,0 +1,161 @@
+"""Geometry core — SURVEY.md §3 C3-C6, C10; math per SURVEY.md §9.1-9.3.
+
+Everything is pure jnp, batched over a leading B axis, and designed to fuse
+into a handful of MXU matmuls under jit (the (B,K)x(K,3N) synthesis matmuls
+are the dominant geometry FLOPs). float32 throughout — the fidelity contract
+is bitwise-closeness to a CPU oracle (SURVEY.md §7), so no bf16 here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import ops as jops
+
+from facerecon_tpu.config import FaceReconConfig
+from facerecon_tpu.utils.coeffs import Coeffs
+
+
+class DeviceBFM(NamedTuple):
+    """BFMAssets mirrored as device arrays (a jit-traceable pytree)."""
+    mean_shape: jnp.ndarray      # (3N,)
+    id_basis: jnp.ndarray        # (3N, K_id)
+    exp_basis: jnp.ndarray       # (3N, K_exp)
+    mean_tex: jnp.ndarray        # (3N,)
+    tex_basis: jnp.ndarray       # (3N, K_tex)
+    sigma_id: jnp.ndarray
+    sigma_exp: jnp.ndarray
+    sigma_tex: jnp.ndarray
+    faces: jnp.ndarray           # (F, 3) int32
+    landmark_index: jnp.ndarray  # (68,) int32
+    skin_mask: jnp.ndarray       # (N,) f32
+
+
+def device_bfm(assets) -> DeviceBFM:
+    return DeviceBFM(*(jnp.asarray(getattr(assets, f))
+                       for f in DeviceBFM._fields))
+
+
+# --- C3: shape/texture synthesis (SURVEY.md §9.1) ---
+
+def shape_formation(alpha, beta, bfm: DeviceBFM) -> jnp.ndarray:
+    """S = S_mean + A_id alpha + A_exp beta  -> (B, N, 3)."""
+    flat = (bfm.mean_shape[None, :]
+            + alpha @ bfm.id_basis.T
+            + beta @ bfm.exp_basis.T)
+    return flat.reshape(alpha.shape[0], -1, 3)
+
+
+def texture_formation(delta, bfm: DeviceBFM) -> jnp.ndarray:
+    """T = T_mean + A_tex delta, scaled to [0,1] -> (B, N, 3)."""
+    flat = bfm.mean_tex[None, :] + delta @ bfm.tex_basis.T
+    return (flat / 255.0).reshape(delta.shape[0], -1, 3)
+
+
+# --- C4: rigid pose (SURVEY.md §9.2) ---
+
+def compute_rotation(angles) -> jnp.ndarray:
+    """Euler radians (B,3) -> R = Rz(psi) Ry(phi) Rx(theta), (B,3,3)."""
+    theta, phi, psi = angles[..., 0], angles[..., 1], angles[..., 2]
+    c, s = jnp.cos, jnp.sin
+    one = jnp.ones_like(theta)
+    zero = jnp.zeros_like(theta)
+    rx = jnp.stack([one, zero, zero,
+                    zero, c(theta), -s(theta),
+                    zero, s(theta), c(theta)], -1).reshape(*theta.shape, 3, 3)
+    ry = jnp.stack([c(phi), zero, s(phi),
+                    zero, one, zero,
+                    -s(phi), zero, c(phi)], -1).reshape(*phi.shape, 3, 3)
+    rz = jnp.stack([c(psi), -s(psi), zero,
+                    s(psi), c(psi), zero,
+                    zero, zero, one], -1).reshape(*psi.shape, 3, 3)
+    return rz @ ry @ rx
+
+
+def rigid_transform(shape, rotation, trans) -> jnp.ndarray:
+    """V = S R^T + t : (B,N,3),(B,3,3),(B,3) -> (B,N,3)."""
+    return jnp.einsum("bni,bji->bnj", shape, rotation) + trans[:, None, :]
+
+
+# --- C5: camera & projection (SURVEY.md §9.3) ---
+
+def camera_depth(verts, cfg: FaceReconConfig) -> jnp.ndarray:
+    """z' = c - V_z (camera at (0,0,c) looking down -z)."""
+    return cfg.camera_distance - verts[..., 2]
+
+
+def perspective_projection(verts, cfg: FaceReconConfig) -> jnp.ndarray:
+    """World verts (B,N,3) -> pixel coords (B,N,2), image y down."""
+    zp = camera_depth(verts, cfg)
+    u = cfg.focal * verts[..., 0] / zp + cfg.center
+    v = cfg.center - cfg.focal * verts[..., 1] / zp
+    return jnp.stack([u, v], axis=-1)
+
+
+def to_ndc(verts, cfg: FaceReconConfig) -> jnp.ndarray:
+    """World verts -> (B,N,3) [x_ndc, y_ndc, depth z'] for the rasterizer.
+
+    x_ndc=(u-W/2)/(W/2), y_ndc=(H/2-v)/(H/2) per SURVEY.md §9.3.
+    """
+    zp = camera_depth(verts, cfg)
+    half = cfg.image_size / 2.0
+    x_ndc = cfg.focal * verts[..., 0] / zp / half
+    y_ndc = cfg.focal * verts[..., 1] / zp / half
+    return jnp.stack([x_ndc, y_ndc, zp], axis=-1)
+
+
+# --- C6: vertex normals (area-weighted, SURVEY.md §9.4) ---
+
+def compute_norm(verts, faces, n_vertices: int) -> jnp.ndarray:
+    """Per-vertex normals: face cross products segment-summed, normalized."""
+    v0 = jnp.take(verts, faces[:, 0], axis=-2)
+    v1 = jnp.take(verts, faces[:, 1], axis=-2)
+    v2 = jnp.take(verts, faces[:, 2], axis=-2)
+    face_n = jnp.cross(v1 - v0, v2 - v0)  # area-weighted (not normalized)
+    idx = faces.reshape(-1)  # (3F,)
+    tiled = jnp.repeat(face_n, 3, axis=-2)  # (..., 3F, 3)
+    vert_n = jops.segment_sum(
+        jnp.moveaxis(tiled, -2, 0), idx, num_segments=n_vertices)
+    vert_n = jnp.moveaxis(vert_n, 0, -2)
+    norm = jnp.linalg.norm(vert_n, axis=-1, keepdims=True)
+    return vert_n / jnp.maximum(norm, 1e-8)
+
+
+# --- C10: landmark projection ---
+
+def project_landmarks(verts, bfm: DeviceBFM, cfg: FaceReconConfig):
+    """Gather the 68 landmark vertices and project to 2D pixels (B,68,2)."""
+    lm_verts = jnp.take(verts, bfm.landmark_index, axis=-2)
+    return perspective_projection(lm_verts, cfg)
+
+
+# --- full coefficient -> world geometry helper ---
+
+class Geometry(NamedTuple):
+    shape: jnp.ndarray        # (B,N,3) canonical shape
+    verts_world: jnp.ndarray  # (B,N,3) posed
+    verts_ndc: jnp.ndarray    # (B,N,3) [x_ndc,y_ndc,depth]
+    texture: jnp.ndarray      # (B,N,3) albedo [0,1]
+    normals: jnp.ndarray      # (B,N,3) world-space vertex normals
+    landmarks2d: jnp.ndarray  # (B,68,2) pixel coords
+
+
+def coeffs_to_geometry(c: Coeffs, bfm: DeviceBFM,
+                       cfg: FaceReconConfig) -> Geometry:
+    shape = shape_formation(c.id, c.exp, bfm)
+    tex = texture_formation(c.tex, bfm)
+    rot = compute_rotation(c.angles)
+    verts = rigid_transform(shape, rot, c.trans)
+    n_vertices = shape.shape[-2]
+    # normals rotate with the mesh: compute in canonical frame, rotate
+    normals = compute_norm(shape, bfm.faces, n_vertices)
+    normals = jnp.einsum("bni,bji->bnj", normals, rot)
+    return Geometry(
+        shape=shape,
+        verts_world=verts,
+        verts_ndc=to_ndc(verts, cfg),
+        texture=tex,
+        normals=normals,
+        landmarks2d=project_landmarks(verts, bfm, cfg),
+    )

@@ -1,0 +1,138 @@
+"""BFM (Basel Face Model) asset layer — SURVEY.md §3 C1.
+
+The reference loads MATLAB `.mat` BFM files at runtime; the TPU rebuild packs
+the arrays once into a `.npz` and loads them as frozen float32/int32 numpy
+arrays that are uploaded to device a single time (SURVEY.md §2 K1).
+
+Real BFM data is licensed and absent in this environment, so the framework is
+validated against a *synthetic* generator that produces a face-like half-sphere
+mesh with random-orthonormal PCA bases of the configured shapes
+(SURVEY.md §8 step 1). Any real basis of the right shapes drops in via the
+same `.npz` pack.
+
+Array shapes (N vertices, F triangles, K* basis sizes):
+  mean_shape (3N,)   id_basis (3N,K_id)   exp_basis (3N,K_exp)
+  mean_tex   (3N,)   tex_basis (3N,K_tex)
+  sigma_id (K_id,)   sigma_exp (K_exp,)   sigma_tex (K_tex,)
+  faces (F,3) int32  landmark_index (68,) int32   skin_mask (N,) f32
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from facerecon_tpu.config import FaceReconConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class BFMAssets:
+    """Frozen container of BFM arrays. Host-side numpy; uploaded once."""
+    mean_shape: np.ndarray      # (3N,) f32
+    id_basis: np.ndarray        # (3N, K_id) f32
+    exp_basis: np.ndarray       # (3N, K_exp) f32
+    mean_tex: np.ndarray        # (3N,) f32, RGB in [0, 255]
+    tex_basis: np.ndarray       # (3N, K_tex) f32
+    sigma_id: np.ndarray        # (K_id,) f32 — PCA eigenvalue sqrt
+    sigma_exp: np.ndarray       # (K_exp,) f32
+    sigma_tex: np.ndarray       # (K_tex,) f32
+    faces: np.ndarray           # (F, 3) int32, CCW
+    landmark_index: np.ndarray  # (68,) int32
+    skin_mask: np.ndarray       # (N,) f32 in [0,1]
+
+    @property
+    def n_vertices(self) -> int:
+        return self.mean_shape.shape[0] // 3
+
+    @property
+    def n_faces(self) -> int:
+        return self.faces.shape[0]
+
+
+def save_npz(path: str, assets: BFMAssets) -> None:
+    np.savez_compressed(path, **dataclasses.asdict(assets))
+
+
+def load_npz(path: str) -> BFMAssets:
+    with np.load(path) as z:
+        fields = {f.name: z[f.name] for f in dataclasses.fields(BFMAssets)}
+    return BFMAssets(**fields)
+
+
+def _grid_dims(n_target: int) -> tuple[int, int]:
+    """Rows/cols of the half-sphere grid closest to (but >=) n_target."""
+    r = int(np.ceil(np.sqrt(n_target)))
+    c = int(np.ceil(n_target / r))
+    return r, c
+
+
+def _orthonormal_basis(rng: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    q, _ = np.linalg.qr(rng.standard_normal((rows, cols)))
+    return np.ascontiguousarray(q, dtype=np.float32)
+
+
+def synthetic_bfm(cfg: FaceReconConfig, seed: int = 0) -> BFMAssets:
+    """Face-like half-sphere mesh + random-orthonormal PCA bases.
+
+    Vertex count is the grid size nearest cfg.n_vertices (shapes are read from
+    the asset downstream, so an off-by-a-few count is fine); triangle count
+    follows from the grid. Geometry sits in a ~0.9-radius ball at the origin
+    so the default camera (distance 10, focal 1015 @224) frames it.
+    """
+    rng = np.random.default_rng(seed)
+    rows, cols = _grid_dims(cfg.n_vertices)
+    n = rows * cols
+
+    lat = np.linspace(-0.72, 0.72, rows) * np.pi / 2
+    lon = np.linspace(-0.72, 0.72, cols) * np.pi / 2
+    lat_g, lon_g = np.meshgrid(lat, lon, indexing="ij")
+    radius = 0.9
+    x = radius * np.cos(lat_g) * np.sin(lon_g)
+    y = radius * np.sin(lat_g)
+    z = radius * np.cos(lat_g) * np.cos(lon_g)
+    # mild ellipsoid squash: faces are taller than wide, shallower than round
+    verts = np.stack([x * 0.85, y, z * 0.75], axis=-1).reshape(n, 3)
+    mean_shape = verts.reshape(-1).astype(np.float32)
+
+    # triangulate the grid, CCW as seen from +z (camera side)
+    idx = np.arange(n).reshape(rows, cols)
+    v00 = idx[:-1, :-1].reshape(-1)
+    v01 = idx[:-1, 1:].reshape(-1)
+    v10 = idx[1:, :-1].reshape(-1)
+    v11 = idx[1:, 1:].reshape(-1)
+    faces = np.concatenate(
+        [np.stack([v00, v01, v11], axis=-1),
+         np.stack([v00, v11, v10], axis=-1)], axis=0).astype(np.int32)
+
+    # smooth skin-tone texture with low-frequency variation, RGB in [0,255]
+    base = np.array([204.0, 164.0, 140.0], dtype=np.float32)
+    wave = (np.sin(3.1 * lat_g) * np.cos(2.3 * lon_g)).reshape(n, 1)
+    mean_tex = np.clip(base[None, :] + 25.0 * wave, 0, 255)
+    mean_tex = mean_tex.reshape(-1).astype(np.float32)
+
+    # random orthonormal bases scaled so unit-sigma coeffs deform mildly
+    id_basis = _orthonormal_basis(rng, 3 * n, cfg.n_id) * 0.2
+    exp_basis = _orthonormal_basis(rng, 3 * n, cfg.n_exp) * 0.1
+    tex_basis = _orthonormal_basis(rng, 3 * n, cfg.n_tex) * 20.0
+
+    decay = lambda k: (1.0 / np.sqrt(1.0 + np.arange(k))).astype(np.float32)
+    sigma_id, sigma_exp, sigma_tex = (
+        decay(cfg.n_id), decay(cfg.n_exp), decay(cfg.n_tex))
+
+    # 68 landmark vertices spread over the central face region of the grid
+    lm_rows = np.linspace(rows * 0.2, rows * 0.8, 8).astype(np.int64)
+    lm_cols = np.linspace(cols * 0.15, cols * 0.85, 9).astype(np.int64)
+    lm_grid = idx[np.ix_(lm_rows, lm_cols)].reshape(-1)[:68]
+    landmark_index = np.ascontiguousarray(lm_grid, dtype=np.int32)
+
+    # skin mask: 1 in the central region, soft falloff at the rim
+    rim = np.minimum.reduce([
+        lat_g - lat[0], lat[-1] - lat_g, lon_g - lon[0], lon[-1] - lon_g])
+    skin_mask = np.clip(rim.reshape(n) / 0.2, 0.0, 1.0).astype(np.float32)
+
+    return BFMAssets(
+        mean_shape=mean_shape, id_basis=id_basis, exp_basis=exp_basis,
+        mean_tex=mean_tex, tex_basis=tex_basis,
+        sigma_id=sigma_id, sigma_exp=sigma_exp, sigma_tex=sigma_tex,
+        faces=faces, landmark_index=landmark_index, skin_mask=skin_mask)
