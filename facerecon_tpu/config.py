@@ -35,7 +35,9 @@ class FaceReconConfig:
 
     # --- loss weights (SURVEY.md §9.7; tunable, not contractual) ---
     w_photo: float = 1.9
-    w_landmark: float = 1.6e-3
+    # landmark_loss already divides by image_size^2 (SURVEY.md §9.7), so this
+    # weight is O(100): 80/224^2 == the family's usual 1.6e-3 per-px^2 scale.
+    w_landmark: float = 80.0
     w_reg_id: float = 1.0
     w_reg_exp: float = 0.8
     w_reg_tex: float = 1.7e-2
