@@ -1,0 +1,179 @@
+"""Video-sequence face tracking driver — SURVEY.md §3 C19, workload config 5.
+
+Two stages, both sharded over the frame axis of a device mesh:
+  1. per-frame CNN regression (optionally temporally smoothed);
+  2. joint refinement: identity + texture coefficients are SHARED across the
+     sequence and solved jointly, per-frame pose/expression/illumination stay
+     free. The shared-coefficient gradient is a mean over the sharded frame
+     axis — the one place cross-chip communication appears (an XLA psum over
+     ICI, inserted automatically by jit; SURVEY.md §4.5).
+
+Usage:
+  python -m facerecon_tpu.track --frames 16 --tiny --refine-steps 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from facerecon_tpu.config import FaceReconConfig, default_config, tiny_config
+from facerecon_tpu.data.synthetic import render_batch, sample_coeffs
+from facerecon_tpu.ops.geometry import DeviceBFM, device_bfm
+from facerecon_tpu.ops.losses import total_loss
+from facerecon_tpu.ops.render import render_coeffs
+from facerecon_tpu.parallel import mesh as pmesh
+from facerecon_tpu.pipeline import init_params, make_pipeline
+from facerecon_tpu.utils.bfm import load_npz, synthetic_bfm
+from facerecon_tpu.utils.coeffs import Coeffs, join_coeff, split_coeff
+from facerecon_tpu.utils.metrics import landmark_rmse, psnr
+
+
+class TrackParams(NamedTuple):
+    """Joint-solve parameterization: shared appearance, free per-frame rest."""
+    shared_id: jnp.ndarray    # (K_id,)
+    shared_tex: jnp.ndarray   # (K_tex,)
+    per_frame: jnp.ndarray    # (T, K_exp + 3 + 27 + 3)
+
+
+def _assemble(tp: TrackParams, cfg: FaceReconConfig) -> jnp.ndarray:
+    """TrackParams -> full (T, n_coeff) coefficient matrix."""
+    t = tp.per_frame.shape[0]
+    n_exp = cfg.n_exp
+    exp = tp.per_frame[:, :n_exp]
+    rest = tp.per_frame[:, n_exp:]
+    return jnp.concatenate([
+        jnp.broadcast_to(tp.shared_id, (t, cfg.n_id)),
+        exp,
+        jnp.broadcast_to(tp.shared_tex, (t, cfg.n_tex)),
+        rest,
+    ], axis=-1)
+
+
+def _decompose(coeff: jnp.ndarray, cfg: FaceReconConfig) -> TrackParams:
+    s = cfg.coeff_split
+    return TrackParams(
+        shared_id=jnp.mean(coeff[:, :s[0]], axis=0),
+        shared_tex=jnp.mean(coeff[:, s[1]:s[2]], axis=0),
+        per_frame=jnp.concatenate([coeff[:, s[0]:s[1]], coeff[:, s[2]:]],
+                                  axis=-1),
+    )
+
+
+def make_refine_fn(cfg: FaceReconConfig, steps: int, lr: float = 5e-3):
+    """Jitted joint refinement over a frame sequence (frames shardable)."""
+    opt = optax.adam(lr)
+
+    def loss_fn(tp: TrackParams, bfm, frames, lmk):
+        coeffs = split_coeff(_assemble(tp, cfg), cfg)
+        out = render_coeffs(coeffs, bfm, cfg, background=frames)
+        total, _ = total_loss(out, coeffs, frames, lmk, bfm, cfg)
+        return total
+
+    @jax.jit
+    def refine(tp0: TrackParams, bfm: DeviceBFM, frames, lmk):
+        def step(carry, _):
+            tp, opt_state = carry
+            loss, grad = jax.value_and_grad(loss_fn)(tp, bfm, frames, lmk)
+            updates, opt_state = opt.update(grad, opt_state, tp)
+            return (optax.apply_updates(tp, updates), opt_state), loss
+
+        (tp, _), losses = jax.lax.scan(
+            step, (tp0, opt.init(tp0)), None, length=steps)
+        return tp, losses
+
+    return refine
+
+
+def smooth_coeffs(coeff: np.ndarray, cfg: FaceReconConfig,
+                  alpha: float = 0.6) -> np.ndarray:
+    """EMA temporal smoothing of pose/expression across frames."""
+    out = coeff.copy()
+    s = cfg.coeff_split
+    for t in range(1, coeff.shape[0]):
+        out[t, s[2]:] = alpha * out[t, s[2]:] + (1 - alpha) * out[t - 1, s[2]:]
+    return out
+
+
+def run(args) -> dict:
+    cfg = tiny_config() if args.tiny else default_config()
+    assets = load_npz(args.bfm) if args.bfm else synthetic_bfm(cfg, seed=0)
+    pipe = make_pipeline(cfg, assets)
+    bfm = pipe.bfm
+    rng = np.random.default_rng(args.seed)
+
+    # synthetic sequence: one identity/texture, smoothly varying pose+exp
+    base = sample_coeffs(rng, cfg, 1)[0]
+    t_ax = np.linspace(0, 2 * np.pi, args.frames, dtype=np.float32)
+    seq = np.tile(base, (args.frames, 1))
+    s = cfg.coeff_split
+    seq[:, s[0]:s[1]] += 0.15 * np.sin(t_ax)[:, None] * rng.standard_normal(
+        (1, cfg.n_exp)).astype(np.float32)
+    seq[:, s[2]] += 0.2 * np.sin(t_ax)          # yaw sweep
+    frames, gt_lmk = render_batch(seq, bfm, cfg)
+
+    # stage 1: per-frame CNN regression (mean-face init net = mean face)
+    variables = init_params(pipe, jax.random.PRNGKey(args.seed))
+    coeff0 = np.asarray(pipe.model.apply(variables, jnp.asarray(frames),
+                                         train=False))
+    coeff0 = smooth_coeffs(coeff0, cfg)
+
+    # stage 2: joint refinement, frames sharded over the mesh
+    mesh = pmesh.make_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    frames_j, lmk_j = jnp.asarray(frames), jnp.asarray(gt_lmk)
+    tp0 = _decompose(jnp.asarray(coeff0), cfg)
+    if n_dev > 1 and args.frames % n_dev == 0:
+        frames_j, lmk_j = pmesh.shard_batch(mesh, (frames_j, lmk_j))
+        tp0 = TrackParams(
+            shared_id=pmesh.replicate(mesh, tp0.shared_id),
+            shared_tex=pmesh.replicate(mesh, tp0.shared_tex),
+            per_frame=pmesh.shard_batch(mesh, tp0.per_frame))
+
+    refine = make_refine_fn(cfg, steps=args.refine_steps, lr=args.lr)
+    t0 = time.time()
+    tp, losses = refine(tp0, bfm, frames_j, lmk_j)
+    jax.block_until_ready(tp.shared_id)
+    elapsed = time.time() - t0
+
+    coeff_fit = np.asarray(_assemble(tp, cfg))
+    tracked, _ = render_batch(coeff_fit, bfm, cfg)
+    out = render_coeffs(split_coeff(jnp.asarray(coeff_fit), cfg), bfm, cfg)
+    report = {
+        "frames": args.frames, "devices": n_dev,
+        "refine_s": elapsed,
+        "loss_first": float(losses[0]), "loss_last": float(losses[-1]),
+        "psnr_db": psnr(tracked, frames),
+        "landmark_rmse_px": landmark_rmse(
+            np.asarray(out.geometry.landmarks2d), gt_lmk),
+        "id_err": float(np.abs(np.asarray(tp.shared_id)
+                               - base[:cfg.n_id]).mean()),
+    }
+    print(json.dumps(report))
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--refine-steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--bfm", default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Self-supervised training driver — SURVEY.md §3 C15, workload config 4.
+
+Per-step: batch -> CNN -> coefficient split -> synthesis -> pose -> SH ->
+rasterize -> composite -> photometric + landmark + regularization losses ->
+optax Adam step. The whole step is ONE jit-compiled XLA program
+(SURVEY.md §4.1); with a multi-chip mesh the batch axis is sharded and XLA
+all-reduces gradients over ICI (psum) — no hand-written comm.
+
+Usage:
+  python -m facerecon_tpu.train --steps 200 --batch 8 --tiny
+  python -m facerecon_tpu.train --steps 100000 --batch 32 --ckpt-dir /tmp/ck
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from facerecon_tpu.config import FaceReconConfig, default_config, tiny_config
+from facerecon_tpu.data.synthetic import synthetic_batches
+from facerecon_tpu.ops.geometry import DeviceBFM, device_bfm
+from facerecon_tpu.ops.losses import total_loss
+from facerecon_tpu.ops.render import render_coeffs
+from facerecon_tpu.parallel import mesh as pmesh
+from facerecon_tpu.pipeline import init_params, make_pipeline
+from facerecon_tpu.utils.bfm import load_npz, synthetic_bfm
+from facerecon_tpu.utils.coeffs import split_coeff
+
+
+class TrainState(NamedTuple):
+    variables: Any    # {'params', 'batch_stats'}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: FaceReconConfig, total_steps: int):
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=cfg.learning_rate,
+        warmup_steps=min(1000, max(1, total_steps // 20)),
+        decay_steps=max(2, total_steps))
+    return optax.adam(sched)
+
+
+def make_train_step(pipe, opt, use_landmarks: bool = True):
+    """Build the jitted train step: (state, bfm, images, lmk) -> (state, metrics)."""
+    model, cfg = pipe.model, pipe.cfg
+
+    def loss_fn(params, batch_stats, bfm: DeviceBFM, images, gt_lmk):
+        coeff_vec, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, mutable=["batch_stats"])
+        coeffs = split_coeff(coeff_vec, cfg)
+        out = render_coeffs(coeffs, bfm, cfg, background=images)
+        total, parts = total_loss(
+            out, coeffs, images, gt_lmk if use_landmarks else None, bfm, cfg)
+        return total, (parts, updates["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, bfm: DeviceBFM, images, gt_lmk):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (parts, new_bs)), grads = grad_fn(
+            state.variables["params"], state.variables["batch_stats"],
+            bfm, images, gt_lmk)
+        updates, opt_state = opt.update(
+            grads, state.opt_state, state.variables["params"])
+        params = optax.apply_updates(state.variables["params"], updates)
+        new_state = TrainState(
+            variables={"params": params, "batch_stats": new_bs},
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, parts
+
+    return train_step
+
+
+def init_state(pipe, opt, seed: int = 0) -> TrainState:
+    variables = init_params(pipe, jax.random.PRNGKey(seed))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    return TrainState(variables=variables,
+                      opt_state=opt.init(variables["params"]),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def run(args) -> dict:
+    cfg = tiny_config() if args.tiny else default_config()
+    if args.batch:
+        cfg = cfg.__class__(**{**cfg.__dict__, "batch_size": args.batch})
+    assets = load_npz(args.bfm) if args.bfm else synthetic_bfm(cfg, seed=0)
+    pipe = make_pipeline(cfg, assets)
+    opt = make_optimizer(cfg, args.steps)
+    train_step = make_train_step(pipe, opt, use_landmarks=not args.no_landmarks)
+
+    state = init_state(pipe, opt, args.seed)
+    mgr = None
+    if args.ckpt_dir:
+        from facerecon_tpu.checkpoint import CheckpointManager
+        mgr = CheckpointManager(args.ckpt_dir)
+        if args.resume and mgr.latest_step() is not None:
+            restored = mgr.restore(template={
+                "variables": state.variables, "opt_state": state.opt_state,
+                "step": 0})
+            state = TrainState(variables=restored["variables"],
+                               opt_state=restored["opt_state"],
+                               step=jnp.asarray(restored["step"], jnp.int32))
+            print(f"resumed at step {int(state.step)}")
+
+    # multi-chip: shard batch over the data mesh, replicate params
+    mesh = pmesh.make_mesh()
+    multi = len(mesh.devices.reshape(-1)) > 1
+    if multi:
+        state = TrainState(*pmesh.replicate(mesh, tuple(state)))
+    bfm = pmesh.replicate(mesh, pipe.bfm) if multi else pipe.bfm
+
+    data = synthetic_batches(pipe.bfm, cfg, cfg.batch_size, seed=args.seed + 1)
+    t0 = time.time()
+    first_loss = last_loss = None
+    for i in range(args.steps):
+        images, lmk, _ = next(data)
+        images, lmk = jnp.asarray(images), jnp.asarray(lmk)
+        if multi:
+            images, lmk = pmesh.shard_batch(mesh, (images, lmk))
+        state, parts = train_step(state, bfm, images, lmk)
+        if i == 0:
+            jax.block_until_ready(parts["total"])
+            t0 = time.time()  # exclude compile from throughput
+            first_loss = float(parts["total"])
+        if (i + 1) % args.log_every == 0 or i == args.steps - 1:
+            last_loss = float(parts["total"])
+            rate = cfg.batch_size * (i if i else 1) / max(time.time() - t0,
+                                                          1e-9)
+            print(json.dumps({
+                "step": i + 1,
+                **{k: round(float(v), 5) for k, v in parts.items()},
+                "faces_per_sec": round(rate, 1)}))
+        if mgr and (i + 1) % cfg.checkpoint_every == 0:
+            mgr.save(int(state.step), {
+                "variables": jax.device_get(state.variables),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": int(state.step)})
+    if mgr:
+        mgr.save(int(state.step), {
+            "variables": jax.device_get(state.variables),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": int(state.step)})
+        mgr.wait()
+    report = {"steps": args.steps, "first_loss": first_loss,
+              "last_loss": last_loss,
+              "improved": (first_loss is None or last_loss is None
+                           or last_loss < first_loss)}
+    print(json.dumps(report))
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--bfm", default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-landmarks", action="store_true")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()
