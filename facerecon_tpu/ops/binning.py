@@ -1,0 +1,129 @@
+"""Triangle setup + y-band binning for the tiled/Pallas rasterizers.
+
+TPU-first design (SURVEY.md §9.5): scatter-with-depth-test does not map to
+the hardware, so rasterization is gather-style per image tile. To keep the
+per-tile candidate fetch a *contiguous* slice (DMA-friendly, no random
+gathers), triangles are sorted by screen-space ymin once per frame; each
+tile row ("band", tile_h pixels tall) then reads the sorted range
+  [searchsorted(ymin, band_top - max_tri_height), searchsorted(ymin, band_bottom)]
+which is conservative-exact: it contains every triangle whose bbox meets the
+band (plus a small spill set that the per-pixel coverage test rejects).
+
+Per-triangle setup precomputes the affine forms (SURVEY.md §9.5 edge
+functions, normalized by signed area):
+  w0(x,y) = wa0*x + wb0*y + wc0      (barycentric of vertex 0)
+  w1(x,y) = wa1*x + wb1*y + wc1
+  w2      = 1 - w0 - w1
+  z (x,y) = za*x  + zb*y  + zc       (screen-space linear depth)
+Coverage is w0>=0 & w1>=0 & w2>=0 — equivalent to the oracle's
+"all edge functions carry the area's sign" rule. Degenerate (and optionally
+back-facing) triangles get wc0=wc1=-inf so they never cover any pixel.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from facerecon_tpu.ops.rasterize_jnp import ndc_to_screen
+
+# triangle setup record layout (last axis of `coeffs`)
+# [wa0, wb0, wc0, wa1, wb1, wc1, za, zb, zc, ymin]
+SETUP_WIDTH = 10
+_NEG = -3e38  # effectively -inf in f32, kills coverage for dead triangles
+
+
+class TriSetup(NamedTuple):
+    coeffs: jnp.ndarray      # (F, SETUP_WIDTH) f32, sorted by ymin
+    ids: jnp.ndarray         # (F,) int32 original triangle ids, same order
+    band_lo: jnp.ndarray     # (n_bands,) int32 slice starts into coeffs
+    band_hi: jnp.ndarray     # (n_bands,) int32 slice ends
+
+
+def triangle_setup(verts_ndc, faces, height: int, width: int,
+                   cull_backfaces: bool = False):
+    """Per-triangle affine coefficients + y-extent. Unsorted.
+
+    Returns (coeffs (F,10), ymax (F,)).
+    """
+    screen = ndc_to_screen(verts_ndc, height, width)     # (N,2)
+    depth = verts_ndc[:, 2]
+    p0 = jnp.take(screen, faces[:, 0], axis=0)
+    p1 = jnp.take(screen, faces[:, 1], axis=0)
+    p2 = jnp.take(screen, faces[:, 2], axis=0)
+    z0 = jnp.take(depth, faces[:, 0], axis=0)
+    z1 = jnp.take(depth, faces[:, 1], axis=0)
+    z2 = jnp.take(depth, faces[:, 2], axis=0)
+
+    x0, y0 = p0[:, 0], p0[:, 1]
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    # signed area*2 (same formula as the oracle)
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+
+    dead = jnp.abs(area) <= 1e-12
+    if cull_backfaces:
+        # front faces are CCW in world (+z toward camera); the y-down screen
+        # flip makes them negative-area in screen space
+        dead = dead | (area > 0)
+    inv_area = jnp.where(dead, 0.0, 1.0 / jnp.where(dead, 1.0, area))
+
+    # e0 (opposite v0, edge p1->p2) = (x2-x1)(y-y1) - (y2-y1)(x-x1)
+    wa0 = (y1 - y2) * inv_area
+    wb0 = (x2 - x1) * inv_area
+    wc0 = (x1 * y2 - x2 * y1) * inv_area
+    # e1 (opposite v1, edge p2->p0) = (x0-x2)(y-y2) - (y0-y2)(x-x2)
+    wa1 = (y2 - y0) * inv_area
+    wb1 = (x0 - x2) * inv_area
+    wc1 = (x2 * y0 - x0 * y2) * inv_area
+    # depth affine: z = w0 z0 + w1 z1 + (1-w0-w1) z2
+    za = wa0 * (z0 - z2) + wa1 * (z1 - z2)
+    zb = wb0 * (z0 - z2) + wb1 * (z1 - z2)
+    zc = wc0 * (z0 - z2) + wc1 * (z1 - z2) + z2
+
+    wc0 = jnp.where(dead, _NEG, wc0)
+    wc1 = jnp.where(dead, _NEG, wc1)
+    wa0 = jnp.where(dead, 0.0, wa0)
+    wb0 = jnp.where(dead, 0.0, wb0)
+    wa1 = jnp.where(dead, 0.0, wa1)
+    wb1 = jnp.where(dead, 0.0, wb1)
+
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    # dead triangles sort to the very end and never enter any band
+    big = jnp.float32(3e38)
+    ymin = jnp.where(dead, big, ymin)
+    ymax = jnp.where(dead, -big, ymax)
+
+    coeffs = jnp.stack(
+        [wa0, wb0, wc0, wa1, wb1, wc1, za, zb, zc, ymin], axis=-1)
+    return coeffs, ymax
+
+
+def bin_triangles(verts_ndc, faces, height: int, width: int,
+                  tile_h: int, cull_backfaces: bool = False) -> TriSetup:
+    """Sort triangles by ymin and compute per-band candidate ranges."""
+    coeffs, ymax = triangle_setup(verts_ndc, faces, height, width,
+                                  cull_backfaces)
+    ymin = coeffs[:, 9]
+    order = jnp.argsort(ymin)
+    coeffs_s = jnp.take(coeffs, order, axis=0)
+    ids_s = order.astype(jnp.int32)
+    ymin_s = coeffs_s[:, 9]
+
+    # conservative band ranges via the global max triangle height
+    live = ymax > -1e38
+    heights = jnp.where(live, ymax - ymin, 0.0)
+    max_h = jnp.max(heights)
+
+    n_bands = (height + tile_h - 1) // tile_h
+    band_tops = jnp.arange(n_bands, dtype=jnp.float32) * tile_h
+    band_bots = band_tops + tile_h
+    # triangle overlaps band iff ymin <= band_bot and ymax >= band_top;
+    # ymax >= band_top  =>  ymin >= band_top - max_h (conservative)
+    band_lo = jnp.searchsorted(ymin_s, band_tops - max_h).astype(jnp.int32)
+    band_hi = jnp.searchsorted(ymin_s, band_bots, side="right")
+    band_hi = band_hi.astype(jnp.int32)
+    return TriSetup(coeffs=coeffs_s, ids=ids_s,
+                    band_lo=band_lo, band_hi=band_hi)

@@ -1,16 +1,243 @@
-"""Pallas TPU z-buffer rasterizer — SURVEY.md §3 C8, design §9.5.
+"""Pallas TPU z-buffer rasterizer — SURVEY.md §3 C8, design per §9.5.
 
-Placeholder module: `is_available()` gates the backend choice in
-ops/render.py. The tiled Pallas kernel lands behind `rasterize_batch` with
-the same contract as ops/rasterize_jnp.py.
+Replaces the reference's C++/CUDA z-buffer op with a tile-based Mosaic/TPU
+kernel. Shares triangle setup + y-band binning with ops/rasterize_tiled.py
+(ops/binning.py) and fixes that path's weakness: all intermediates stay in
+VMEM and the per-band triangle count is a *dynamic* loop bound (empty bands
+cost nothing, no HBM round-trips for the (candidates x pixels) matrices).
+
+Data layout (chosen for TPU tiling):
+  - per-band candidate triangles are a contiguous, 128-aligned slice of the
+    ymin-sorted setup array -> the kernel walks chunks of 128 triangles with
+    a non-minor dynamic index (no lane-dim dynamic slicing, no gathers);
+  - within a chunk: setup records are (16 fields x 128 triangles) so field
+    extraction is a sublane slice (cheap); the evaluation matrices put band
+    pixels on sublanes and triangles on lanes, so the affine edge functions
+    are outer-product FMAs on the VPU and the depth-test winner is a
+    cross-lane min;
+  - the kernel emits the winner's *sorted position* and depth only; original
+    triangle ids and barycentrics are resolved outside in jnp (XLA gathers),
+    keeping the kernel free of dynamic gathers. tri_id stays integer ->
+    non-differentiable, per the §9.6 contract (bary recomputed in render.py).
+
+Tie rule: equal depth resolves to the lower sorted position (within-chunk:
+lower lane; across chunks: strict < keeps the earlier chunk), matching
+ops/rasterize_tiled.py. See that module's docstring for the oracle-parity
+tolerance discussion.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from facerecon_tpu.ops.binning import SETUP_WIDTH, bin_triangles
+
+_CHUNK = 128          # triangles per inner step (= lane count)
+_GROUP = 8            # chunks per DMA group (64 KB transfers)
+_ROW_PAD = 16         # setup record fields padded 10 -> 16 for tiling
+_BIG_POS = 2 ** 30    # python int: folded into the kernel, not captured
+
+
+def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch, sem,
+            *, tile_h: int, width_pad: int, band_px: int):
+    """Per (image, band) program. Candidate setup records stay in HBM and are
+    double-buffered into VMEM in _GROUP-chunk DMAs while the VPU evaluates
+    the previous group (guide: double-buffering pattern)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    lo_chunk = lo_ref[b, t]      # first 128-aligned chunk index
+    n_chunks = nc_ref[b, t]      # number of live chunks in this band
+    n_groups = (n_chunks + _GROUP - 1) // _GROUP
+
+    # pixel coordinates pre-broadcast to (band_px, CHUNK) once per program so
+    # the hot loop only does lane-aligned sublane-broadcast FMAs
+    flat_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, _CHUNK), 0)
+    px = (flat_i % width_pad).astype(jnp.float32) + 0.5
+    py = ((flat_i // width_pad).astype(jnp.float32)
+          + jnp.float32(t * tile_h) + 0.5)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (band_px, _CHUNK), 1)
+
+    def group_dma(slot, g):
+        return pltpu.make_async_copy(
+            coeffs_hbm.at[b, pl.ds(lo_chunk + g * _GROUP, _GROUP)],
+            scratch.at[slot],
+            sem.at[slot])
+
+    @pl.when(n_groups > 0)
+    def _():
+        group_dma(0, 0).start()
+
+    def group_body(g, carry):
+        zbest, posbest = carry
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g + 1 < n_groups)
+        def _():
+            group_dma(1 - slot, g + 1).start()
+
+        group_dma(slot, g).wait()
+        in_group = jnp.minimum(n_chunks - g * _GROUP, _GROUP)
+
+        def chunk_body(j, carry):
+            zbest, posbest = carry
+            c = scratch[slot, j]                 # (16 fields, CHUNK tris)
+            # outer-product affine eval -> (band_px, CHUNK)
+            e0 = c[0:1] * px + c[1:2] * py + c[2:3]
+            e1 = c[3:4] * px + c[4:5] * py + c[5:6]
+            ez = c[6:7] * px + c[7:8] * py + c[8:9]
+            cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
+            zm = jnp.where(cov, ez, jnp.inf)
+
+            zmin = jnp.min(zm, axis=1, keepdims=True)            # (band_px,1)
+            win = jnp.min(jnp.where(zm == zmin, lane, _BIG_POS),
+                          axis=1, keepdims=True)
+            better = zmin < zbest
+            zbest = jnp.where(better, zmin, zbest)
+            posbest = jnp.where(
+                better, (lo_chunk + g * _GROUP + j) * _CHUNK + win, posbest)
+            return zbest, posbest
+
+        return jax.lax.fori_loop(0, in_group, chunk_body, (zbest, posbest))
+
+    init = (jnp.full((band_px, 1), jnp.inf, jnp.float32),
+            jnp.full((band_px, 1), -1, jnp.int32))
+    zbest, posbest = jax.lax.fori_loop(0, n_groups, group_body, init)
+    pos_ref[0, 0] = posbest
+    z_ref[0, 0] = zbest
+
 
 def is_available() -> bool:
-    return False
+    """Used by ops/render.py to pick the hard-visibility backend: the Pallas
+    kernel on real TPU, the tiled-jnp path elsewhere (interpret mode stays
+    available for explicit CPU testing via rasterize())."""
+    return jax.default_backend() in ("tpu", "axon")
 
 
-def rasterize_batch(verts_ndc, faces, *, height, width, cfg):
-    raise NotImplementedError("Pallas rasterizer not yet wired in")
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "cull_backfaces"))
+def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
+                        tile_h: int = 8, cull_backfaces: bool = False):
+    """Batched hard-visibility pass.
+
+    verts_ndc (B,N,3), faces (F,3) -> (pos (B,H,W) i32 winner position in the
+    per-image ymin-sorted order (-1 = background), ids (B,F) i32 sort order,
+    coeffs (B,F16,16) sorted setup records, zbuf (B,H,W) f32).
+    """
+    bsz = verts_ndc.shape[0]
+    width_pad = ((width + 127) // 128) * 128
+    n_bands = (height + tile_h - 1) // tile_h
+    band_px = tile_h * width_pad
+
+    setup = jax.vmap(
+        lambda v: bin_triangles(v, faces, height, width, tile_h,
+                                cull_backfaces))(verts_ndc)
+    f = setup.coeffs.shape[1]
+    # align band starts down to chunk boundaries; extra leading triangles are
+    # y-sorted neighbours that the coverage test rejects
+    lo_chunk = setup.band_lo // _CHUNK
+    n_chunks = (setup.band_hi + _CHUNK - 1) // _CHUNK - lo_chunk
+    n_chunks = jnp.maximum(n_chunks, 0).astype(jnp.int32)
+
+    # pad triangle axis to whole chunks (+1 slack DMA group so the last
+    # group's full-size fetch stays in bounds), records 10 -> 16
+    nct = ((f + _CHUNK - 1) // _CHUNK + _GROUP - 1) // _GROUP * _GROUP + _GROUP
+    pad_f = nct * _CHUNK - f
+    coeffs = jnp.pad(setup.coeffs, ((0, 0), (0, pad_f),
+                                    (0, _ROW_PAD - SETUP_WIDTH)))
+    # dead padding must never cover: wc0 = wc1 = -inf
+    if pad_f:
+        coeffs = coeffs.at[:, f:, 2].set(-3e38)
+        coeffs = coeffs.at[:, f:, 5].set(-3e38)
+    flat_records = coeffs                                # (B, F16, 16)
+    # kernel layout: fields on sublanes, triangles on lanes
+    coeffs_k = coeffs.reshape(bsz, nct, _CHUNK, _ROW_PAD)
+    coeffs_k = jnp.swapaxes(coeffs_k, 2, 3)              # (B, nct, 16, CHUNK)
+
+    pos, zbuf = pl.pallas_call(
+        functools.partial(_kernel, tile_h=tile_h, width_pad=width_pad,
+                          band_px=band_px),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,            # lo_chunk, n_chunks
+            grid=(bsz, n_bands),
+            in_specs=[
+                # full array stays in HBM; the kernel DMAs per-band slices
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, _GROUP, _ROW_PAD, _CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, band_px, 1),
+                             lambda b, t, *_: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, band_px, 1),
+                             lambda b, t, *_: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(lo_chunk.astype(jnp.int32), n_chunks, coeffs_k)
+
+    pos = pos.reshape(bsz, n_bands * tile_h, width_pad)[:, :height, :width]
+    zbuf = zbuf.reshape(bsz, n_bands * tile_h, width_pad)[:, :height, :width]
+    return pos, setup.ids, flat_records, zbuf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "cfg", "tile_h", "cull_backfaces"))
+def rasterize_batch(verts_ndc, faces, *, height: int, width: int, cfg=None,
+                    tile_h: int = 8, cull_backfaces: bool = False):
+    """Full SURVEY.md §9.5 contract: (tri_id, bary, zbuf), batched.
+
+    Fully jitted — eager dispatch over the axon tunnel costs seconds per op.
+    """
+    if cfg is not None:
+        tile_h = cfg.tile_h
+    pos, ids, records, zbuf = rasterize_positions(
+        verts_ndc, faces, height=height, width=width, tile_h=tile_h,
+        cull_backfaces=cull_backfaces)
+    hit = pos >= 0
+    safe = jnp.maximum(pos, 0)
+    tri_id = jnp.where(
+        hit, jnp.take_along_axis(ids, safe.reshape(ids.shape[0], -1),
+                                 axis=1).reshape(pos.shape), -1)
+    # barycentrics from the winner's affine record (non-differentiable path;
+    # render.py recomputes them differentiably from tri_id)
+    rec = jnp.take_along_axis(
+        records, safe.reshape(records.shape[0], -1, 1), axis=1
+    ).reshape(*pos.shape, _ROW_PAD)
+    jj, ii = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
+    px = (jj + 0.5).astype(jnp.float32)[None]
+    py = (ii + 0.5).astype(jnp.float32)[None]
+    w0 = rec[..., 0] * px + rec[..., 1] * py + rec[..., 2]
+    w1 = rec[..., 3] * px + rec[..., 4] * py + rec[..., 5]
+    bary = jnp.stack([w0, w1, 1.0 - w0 - w1], axis=-1)
+    bary = jnp.where(hit[..., None], bary, 0.0)
+    zbuf = jnp.where(hit, zbuf, jnp.inf)
+    return tri_id, bary, zbuf
+
+
+def rasterize(verts_ndc, faces, *, height: int, width: int,
+              tile_h: int = 8, cull_backfaces: bool = False):
+    """Single-mesh wrapper matching rasterize_jnp/rasterize_tiled."""
+    tid, bary, z = rasterize_batch(
+        verts_ndc[None], faces, height=height, width=width, tile_h=tile_h,
+        cull_backfaces=cull_backfaces)
+    return tid[0], bary[0], z[0]
