@@ -101,6 +101,50 @@ def triangle_setup(verts_ndc, faces, height: int, width: int,
     return coeffs, ymax
 
 
+class StaticSetup(NamedTuple):
+    coeffs: jnp.ndarray      # (F, SETUP_WIDTH) f32, ORIGINAL face order
+    band_lo: jnp.ndarray     # (n_bands,) int32 first chunk index per band
+    n_chunks: jnp.ndarray    # (n_bands,) int32 chunk count per band
+
+
+def bin_triangles_static(verts_ndc, faces, height: int, width: int,
+                         tile_h: int, chunk: int,
+                         cull_backfaces: bool = False) -> StaticSetup:
+    """Sort-free binning for spatially coherent face orderings.
+
+    A per-frame ymin argsort costs ~1.8 ms/face on v5e — half the rasterizer
+    time. Real face meshes (and the synthetic grid generator) store faces in
+    spatially coherent order (mesh-row-major), and the data pipeline ALIGNS
+    faces (roll removed), so consecutive `chunk`-sized groups of faces have
+    tight screen-y extents. Each band's candidates are then the contiguous
+    span of chunks whose [ymin, ymax] intersects it — conservative-exact,
+    contiguous, and in ORIGINAL face order (ties resolve to the lowest face
+    id, exactly matching the oracle). Under heavy in-plane rotation the
+    spans widen (graceful perf degradation, never incorrectness).
+    """
+    coeffs, ymax = triangle_setup(verts_ndc, faces, height, width,
+                                  cull_backfaces)
+    f = coeffs.shape[0]
+    pad = (-f) % chunk
+    ymin_t = jnp.pad(coeffs[:, 9], (0, pad), constant_values=3e38)
+    ymax_t = jnp.pad(ymax, (0, pad), constant_values=-3e38)
+    nct = ymin_t.shape[0] // chunk
+    cymin = jnp.min(ymin_t.reshape(nct, chunk), axis=1)   # (nct,)
+    cymax = jnp.max(ymax_t.reshape(nct, chunk), axis=1)
+
+    n_bands = (height + tile_h - 1) // tile_h
+    band_tops = jnp.arange(n_bands, dtype=jnp.float32) * tile_h
+    band_bots = band_tops + tile_h
+    hit = ((cymin[None, :] <= band_bots[:, None])
+           & (cymax[None, :] >= band_tops[:, None]))      # (n_bands, nct)
+    any_hit = jnp.any(hit, axis=1)
+    first = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    last = (nct - 1 - jnp.argmax(hit[:, ::-1], axis=1)).astype(jnp.int32)
+    band_lo = jnp.where(any_hit, first, 0)
+    n_chunks = jnp.where(any_hit, last - first + 1, 0).astype(jnp.int32)
+    return StaticSetup(coeffs=coeffs, band_lo=band_lo, n_chunks=n_chunks)
+
+
 def bin_triangles(verts_ndc, faces, height: int, width: int,
                   tile_h: int, cull_backfaces: bool = False) -> TriSetup:
     """Sort triangles by ymin and compute per-band candidate ranges."""

@@ -35,79 +35,66 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from facerecon_tpu.ops.binning import SETUP_WIDTH, bin_triangles
+from facerecon_tpu.ops.binning import SETUP_WIDTH, bin_triangles_static
 
 _CHUNK = 128          # triangles per inner step (= lane count)
-_GROUP = 8            # chunks per DMA group (64 KB transfers)
+_WINDOW = 64          # chunks fetched per band in ONE DMA (512 KB scratch)
 _ROW_PAD = 16         # setup record fields padded 10 -> 16 for tiling
-_BIG_POS = 2 ** 30    # python int: folded into the kernel, not captured
 
 
 def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch, sem,
             *, tile_h: int, width_pad: int, band_px: int):
-    """Per (image, band) program. Candidate setup records stay in HBM and are
-    double-buffered into VMEM in _GROUP-chunk DMAs while the VPU evaluates
-    the previous group (guide: double-buffering pattern)."""
+    """Per (image, band) program. The band's whole candidate window is
+    fetched HBM->VMEM in ONE DMA (per-chunk DMA bookkeeping dominated the
+    runtime), then a clean fori_loop evaluates 128-triangle chunks."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     lo_chunk = lo_ref[b, t]      # first 128-aligned chunk index
     n_chunks = nc_ref[b, t]      # number of live chunks in this band
-    n_groups = (n_chunks + _GROUP - 1) // _GROUP
 
-    # pixel coordinates pre-broadcast to (band_px, CHUNK) once per program so
-    # the hot loop only does lane-aligned sublane-broadcast FMAs
+    dma = pltpu.make_async_copy(
+        coeffs_hbm.at[b, pl.ds(lo_chunk, _WINDOW)], scratch, sem)
+    dma.start()
+
+    # pixel coordinates pre-broadcast to (band_px, CHUNK): the affine eval
+    # stays on the VPU — an MXU (band_px,3)@(3,CHUNK) form was tried and is
+    # 2x SLOWER because K=3 pads to the 128-deep systolic array (16x waste)
     flat_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, _CHUNK), 0)
     px = (flat_i % width_pad).astype(jnp.float32) + 0.5
     py = ((flat_i // width_pad).astype(jnp.float32)
           + jnp.float32(t * tile_h) + 0.5)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (band_px, _CHUNK), 1)
+    # f32 lane indices: cross-lane min is native for f32 but emulated (and
+    # ~10x slower) for int32; lane values (<128) are exact in f32
+    lane_f = jax.lax.broadcasted_iota(
+        jnp.int32, (band_px, _CHUNK), 1).astype(jnp.float32)
 
-    def group_dma(slot, g):
-        return pltpu.make_async_copy(
-            coeffs_hbm.at[b, pl.ds(lo_chunk + g * _GROUP, _GROUP)],
-            scratch.at[slot],
-            sem.at[slot])
+    dma.wait()
 
-    @pl.when(n_groups > 0)
-    def _():
-        group_dma(0, 0).start()
-
-    def group_body(g, carry):
+    def chunk_body(j, carry):
         zbest, posbest = carry
-        slot = jax.lax.rem(g, 2)
+        c = scratch[j]                           # (16 fields, CHUNK tris)
+        # outer-product affine eval -> (band_px, CHUNK)
+        e0 = c[0:1] * px + c[1:2] * py + c[2:3]
+        e1 = c[3:4] * px + c[4:5] * py + c[5:6]
+        ez = c[6:7] * px + c[7:8] * py + c[8:9]
+        cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
+        zm = jnp.where(cov, ez, jnp.inf)
 
-        @pl.when(g + 1 < n_groups)
-        def _():
-            group_dma(1 - slot, g + 1).start()
-
-        group_dma(slot, g).wait()
-        in_group = jnp.minimum(n_chunks - g * _GROUP, _GROUP)
-
-        def chunk_body(j, carry):
-            zbest, posbest = carry
-            c = scratch[slot, j]                 # (16 fields, CHUNK tris)
-            # outer-product affine eval -> (band_px, CHUNK)
-            e0 = c[0:1] * px + c[1:2] * py + c[2:3]
-            e1 = c[3:4] * px + c[4:5] * py + c[5:6]
-            ez = c[6:7] * px + c[7:8] * py + c[8:9]
-            cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
-            zm = jnp.where(cov, ez, jnp.inf)
-
-            zmin = jnp.min(zm, axis=1, keepdims=True)            # (band_px,1)
-            win = jnp.min(jnp.where(zm == zmin, lane, _BIG_POS),
-                          axis=1, keepdims=True)
-            better = zmin < zbest
-            zbest = jnp.where(better, zmin, zbest)
-            posbest = jnp.where(
-                better, (lo_chunk + g * _GROUP + j) * _CHUNK + win, posbest)
-            return zbest, posbest
-
-        return jax.lax.fori_loop(0, in_group, chunk_body, (zbest, posbest))
+        zmin = jnp.min(zm, axis=1, keepdims=True)                # (band_px,1)
+        win_f = jnp.min(jnp.where(zm == zmin, lane_f, 3e38),
+                        axis=1, keepdims=True)
+        better = zmin < zbest
+        zbest = jnp.where(better, zmin, zbest)
+        win = win_f.astype(jnp.int32)                            # (band_px,1)
+        posbest = jnp.where(
+            better, (lo_chunk + j) * _CHUNK + win, posbest)
+        return zbest, posbest
 
     init = (jnp.full((band_px, 1), jnp.inf, jnp.float32),
             jnp.full((band_px, 1), -1, jnp.int32))
-    zbest, posbest = jax.lax.fori_loop(0, n_groups, group_body, init)
+    zbest, posbest = jax.lax.fori_loop(
+        0, jnp.minimum(n_chunks, _WINDOW), chunk_body, init)
     pos_ref[0, 0] = posbest
     z_ref[0, 0] = zbest
 
@@ -130,28 +117,27 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
                         tile_h: int = 8, cull_backfaces: bool = False):
     """Batched hard-visibility pass.
 
-    verts_ndc (B,N,3), faces (F,3) -> (pos (B,H,W) i32 winner position in the
-    per-image ymin-sorted order (-1 = background), ids (B,F) i32 sort order,
-    coeffs (B,F16,16) sorted setup records, zbuf (B,H,W) f32).
+    verts_ndc (B,N,3), faces (F,3) -> (tri_id (B,H,W) i32 winning face index
+    in ORIGINAL face order (-1 = background), records (B,F16,16) setup
+    records in face order, zbuf (B,H,W) f32).
     """
     bsz = verts_ndc.shape[0]
     width_pad = ((width + 127) // 128) * 128
     n_bands = (height + tile_h - 1) // tile_h
     band_px = tile_h * width_pad
 
+    # sort-free static binning: faces stay in original order (coherent
+    # orderings assumed — see ops/binning.py bin_triangles_static)
     setup = jax.vmap(
-        lambda v: bin_triangles(v, faces, height, width, tile_h,
-                                cull_backfaces))(verts_ndc)
+        lambda v: bin_triangles_static(v, faces, height, width, tile_h,
+                                       _CHUNK, cull_backfaces))(verts_ndc)
     f = setup.coeffs.shape[1]
-    # align band starts down to chunk boundaries; extra leading triangles are
-    # y-sorted neighbours that the coverage test rejects
-    lo_chunk = setup.band_lo // _CHUNK
-    n_chunks = (setup.band_hi + _CHUNK - 1) // _CHUNK - lo_chunk
-    n_chunks = jnp.maximum(n_chunks, 0).astype(jnp.int32)
+    lo_chunk = setup.band_lo
+    n_chunks = setup.n_chunks
 
-    # pad triangle axis to whole chunks (+1 slack DMA group so the last
-    # group's full-size fetch stays in bounds), records 10 -> 16
-    nct = ((f + _CHUNK - 1) // _CHUNK + _GROUP - 1) // _GROUP * _GROUP + _GROUP
+    # pad triangle axis to whole chunks plus a full DMA window of slack so
+    # the fixed-size per-band fetch stays in bounds; records 10 -> 16
+    nct = (f + _CHUNK - 1) // _CHUNK + _WINDOW
     pad_f = nct * _CHUNK - f
     coeffs = jnp.pad(setup.coeffs, ((0, 0), (0, pad_f),
                                     (0, _ROW_PAD - SETUP_WIDTH)))
@@ -175,8 +161,8 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, _GROUP, _ROW_PAD, _CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((_WINDOW, _ROW_PAD, _CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, band_px, 1),
@@ -196,7 +182,10 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
 
     pos = pos.reshape(bsz, n_bands * tile_h, width_pad)[:, :height, :width]
     zbuf = zbuf.reshape(bsz, n_bands * tile_h, width_pad)[:, :height, :width]
-    return pos, setup.ids, flat_records, zbuf
+    # positions beyond the live face count are dead padding (can win only
+    # never — but guard anyway); pos IS the face id in original order
+    pos = jnp.where(pos < faces.shape[0], pos, -1)
+    return pos, flat_records, zbuf
 
 
 @functools.partial(
@@ -210,19 +199,16 @@ def rasterize_batch(verts_ndc, faces, *, height: int, width: int, cfg=None,
     """
     if cfg is not None:
         tile_h = cfg.tile_h
-    pos, ids, records, zbuf = rasterize_positions(
+    tri_id, records, zbuf = rasterize_positions(
         verts_ndc, faces, height=height, width=width, tile_h=tile_h,
         cull_backfaces=cull_backfaces)
-    hit = pos >= 0
-    safe = jnp.maximum(pos, 0)
-    tri_id = jnp.where(
-        hit, jnp.take_along_axis(ids, safe.reshape(ids.shape[0], -1),
-                                 axis=1).reshape(pos.shape), -1)
+    hit = tri_id >= 0
+    safe = jnp.maximum(tri_id, 0)
     # barycentrics from the winner's affine record (non-differentiable path;
     # render.py recomputes them differentiably from tri_id)
     rec = jnp.take_along_axis(
         records, safe.reshape(records.shape[0], -1, 1), axis=1
-    ).reshape(*pos.shape, _ROW_PAD)
+    ).reshape(*tri_id.shape, _ROW_PAD)
     jj, ii = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
     px = (jj + 0.5).astype(jnp.float32)[None]
     py = (ii + 0.5).astype(jnp.float32)[None]

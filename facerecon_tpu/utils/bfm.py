@@ -101,9 +101,13 @@ def synthetic_bfm(cfg: FaceReconConfig, seed: int = 0) -> BFMAssets:
     v01 = idx[:-1, 1:].reshape(-1)
     v10 = idx[1:, :-1].reshape(-1)
     v11 = idx[1:, 1:].reshape(-1)
-    faces = np.concatenate(
+    # interleave the two triangles of each quad so the face list is
+    # spatially coherent in mesh-row-major order (the sort-free band binning
+    # of ops/binning.py relies on coherent orderings)
+    faces = np.stack(
         [np.stack([v00, v01, v11], axis=-1),
-         np.stack([v00, v11, v10], axis=-1)], axis=0).astype(np.int32)
+         np.stack([v00, v11, v10], axis=-1)], axis=1
+    ).reshape(-1, 3).astype(np.int32)
 
     # smooth skin-tone texture with low-frequency variation, RGB in [0,255]
     base = np.array([204.0, 164.0, 140.0], dtype=np.float32)
