@@ -33,28 +33,54 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
 
+    micro = int(os.environ.get("BENCH_MICROBATCH", "64"))
     cfg = default_config(batch_size=batch)
     assets = synthetic_bfm(cfg, seed=0)
     pipe = make_pipeline(cfg, assets)
     variables = init_params(pipe, jax.random.PRNGKey(0))
-    recon = make_reconstruct_fn(pipe)
+    inner = make_reconstruct_fn(pipe)
+
+    assert batch % micro == 0
+    n_micro = batch // micro
+
+    @jax.jit
+    def recon(variables, bfm, images):
+        """batch-256 regress+render, microbatched inside one XLA program to
+        bound render intermediates (B,H,W,3verts,3ch) under HBM."""
+        ims = images.reshape(n_micro, micro, *images.shape[1:])
+
+        def one(im):
+            coeff_vec, _, out = inner(variables, bfm, im)
+            return coeff_vec, out.mask
+
+        coeffs, masks = jax.lax.map(one, ims)
+        return coeffs.reshape(batch, -1), masks.reshape(batch,
+                                                        *masks.shape[2:])
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.random((batch, cfg.image_size, cfg.image_size, 3)),
         dtype=jnp.float32)
 
-    # warmup / compile
-    out = recon(variables, pipe.bfm, images)
-    jax.block_until_ready(out[0])
+    # NB: jax.block_until_ready does not reliably block on the axon backend;
+    # synchronize through a scalar dependency fetch instead (jitted: eager
+    # ops over the tunnel cost seconds).
+    @jax.jit
+    def _chk(coeff_vec, mask):
+        return jnp.sum(coeff_vec) + jnp.sum(mask)
 
-    times = []
+    def sync(out):
+        coeff_vec, mask = out
+        return float(_chk(coeff_vec, mask))
+
+    out = recon(variables, pipe.bfm, images)   # warmup / compile
+    sync(out)
+
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
         out = recon(variables, pipe.bfm, images)
-        jax.block_until_ready(out[0])
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    sync(out)  # device stream is in-order: last result syncs all reps
+    dt = (time.perf_counter() - t0) / reps
     faces_per_sec = batch / dt
 
     print(json.dumps({
