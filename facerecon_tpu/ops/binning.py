@@ -28,9 +28,14 @@ import jax.numpy as jnp
 
 from facerecon_tpu.ops.rasterize_jnp import ndc_to_screen
 
-# triangle setup record layout (last axis of `coeffs`)
-# [wa0, wb0, wc0, wa1, wb1, wc1, za, zb, zc, ymin]
-SETUP_WIDTH = 10
+# triangle setup record layout (last axis of `coeffs`). The affine forms are
+# ANCHORED at the triangle's vertex 0 (evaluate at q = p - (x0, y0)): the
+# globally-expanded constant (x1*y2 - x2*y1) suffers catastrophic f32
+# cancellation for ~1px triangles at ~200px coordinates (barycentric errors
+# up to ~0.1); anchored constants are built from O(triangle-size) magnitudes.
+# [wa0, wb0, wc0, wa1, wb1, wc1, za, zb, zc(=z0), x0, y0, ymin]
+SETUP_WIDTH = 12
+YMIN_IDX = 11
 _NEG = -3e38  # effectively -inf in f32, kills coverage for dead triangles
 
 
@@ -57,10 +62,13 @@ def triangle_setup(verts_ndc, faces, height: int, width: int,
     z2 = jnp.take(depth, faces[:, 2], axis=0)
 
     x0, y0 = p0[:, 0], p0[:, 1]
-    x1, y1 = p1[:, 0], p1[:, 1]
-    x2, y2 = p2[:, 0], p2[:, 1]
-    # signed area*2 (same formula as the oracle)
-    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    # vertex-0-anchored coordinates: O(triangle-size) magnitudes
+    u1 = p1[:, 0] - x0
+    v1 = p1[:, 1] - y0
+    u2 = p2[:, 0] - x0
+    v2 = p2[:, 1] - y0
+    # signed area*2 (same value as the oracle's global form up to rounding)
+    area = u1 * v2 - v1 * u2
 
     dead = jnp.abs(area) <= 1e-12
     if cull_backfaces:
@@ -69,18 +77,19 @@ def triangle_setup(verts_ndc, faces, height: int, width: int,
         dead = dead | (area > 0)
     inv_area = jnp.where(dead, 0.0, 1.0 / jnp.where(dead, 1.0, area))
 
-    # e0 (opposite v0, edge p1->p2) = (x2-x1)(y-y1) - (y2-y1)(x-x1)
-    wa0 = (y1 - y2) * inv_area
-    wb0 = (x2 - x1) * inv_area
-    wc0 = (x1 * y2 - x2 * y1) * inv_area
-    # e1 (opposite v1, edge p2->p0) = (x0-x2)(y-y2) - (y0-y2)(x-x2)
-    wa1 = (y2 - y0) * inv_area
-    wb1 = (x0 - x2) * inv_area
-    wc1 = (x2 * y0 - x0 * y2) * inv_area
-    # depth affine: z = w0 z0 + w1 z1 + (1-w0-w1) z2
+    # anchored edge functions of q = p - v0:
+    # e0 (opposite v0, edge p1->p2) = (u2-u1)(qy-v1) - (v2-v1)(qx-u1)
+    wa0 = (v1 - v2) * inv_area
+    wb0 = (u2 - u1) * inv_area
+    wc0 = (u1 * v2 - u2 * v1) * inv_area   # = 1.0 up to rounding
+    # e1 (opposite v1, edge p2->v0): passes through the anchor -> no constant
+    wa1 = v2 * inv_area
+    wb1 = -u2 * inv_area
+    wc1 = jnp.zeros_like(wa1)
+    # depth affine in q: z(0) = z0 exactly at the anchor
     za = wa0 * (z0 - z2) + wa1 * (z1 - z2)
     zb = wb0 * (z0 - z2) + wb1 * (z1 - z2)
-    zc = wc0 * (z0 - z2) + wc1 * (z1 - z2) + z2
+    zc = jnp.broadcast_to(z0, wa0.shape)
 
     wc0 = jnp.where(dead, _NEG, wc0)
     wc1 = jnp.where(dead, _NEG, wc1)
@@ -89,15 +98,15 @@ def triangle_setup(verts_ndc, faces, height: int, width: int,
     wa1 = jnp.where(dead, 0.0, wa1)
     wb1 = jnp.where(dead, 0.0, wb1)
 
-    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
-    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    ymin = jnp.minimum(jnp.minimum(p0[:, 1], p1[:, 1]), p2[:, 1])
+    ymax = jnp.maximum(jnp.maximum(p0[:, 1], p1[:, 1]), p2[:, 1])
     # dead triangles sort to the very end and never enter any band
     big = jnp.float32(3e38)
     ymin = jnp.where(dead, big, ymin)
     ymax = jnp.where(dead, -big, ymax)
 
     coeffs = jnp.stack(
-        [wa0, wb0, wc0, wa1, wb1, wc1, za, zb, zc, ymin], axis=-1)
+        [wa0, wb0, wc0, wa1, wb1, wc1, za, zb, zc, x0, y0, ymin], axis=-1)
     return coeffs, ymax
 
 
@@ -126,7 +135,7 @@ def bin_triangles_static(verts_ndc, faces, height: int, width: int,
                                   cull_backfaces)
     f = coeffs.shape[0]
     pad = (-f) % chunk
-    ymin_t = jnp.pad(coeffs[:, 9], (0, pad), constant_values=3e38)
+    ymin_t = jnp.pad(coeffs[:, YMIN_IDX], (0, pad), constant_values=3e38)
     ymax_t = jnp.pad(ymax, (0, pad), constant_values=-3e38)
     nct = ymin_t.shape[0] // chunk
     cymin = jnp.min(ymin_t.reshape(nct, chunk), axis=1)   # (nct,)
@@ -150,11 +159,11 @@ def bin_triangles(verts_ndc, faces, height: int, width: int,
     """Sort triangles by ymin and compute per-band candidate ranges."""
     coeffs, ymax = triangle_setup(verts_ndc, faces, height, width,
                                   cull_backfaces)
-    ymin = coeffs[:, 9]
+    ymin = coeffs[:, YMIN_IDX]
     order = jnp.argsort(ymin)
     coeffs_s = jnp.take(coeffs, order, axis=0)
     ids_s = order.astype(jnp.int32)
-    ymin_s = coeffs_s[:, 9]
+    ymin_s = coeffs_s[:, YMIN_IDX]
 
     # conservative band ranges via the global max triangle height
     live = ymax > -1e38

@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 from facerecon_tpu.ops.binning import SETUP_WIDTH, bin_triangles_static
 
 _CHUNK = 128          # triangles per inner step (= lane count)
-_WINDOW = 64          # chunks fetched per band in ONE DMA (512 KB scratch)
+_WINDOW = 128         # chunks fetched per band in ONE DMA (1 MB scratch) —
+                      # must cover the widest band span (rotation widens
+                      # static-order spans; 64 truncated coverage at ~6% px)
 _ROW_PAD = 16         # setup record fields padded 10 -> 16 for tiling
 
 
@@ -74,10 +76,12 @@ def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch, sem,
     def chunk_body(j, carry):
         zbest, posbest = carry
         c = scratch[j]                           # (16 fields, CHUNK tris)
-        # outer-product affine eval -> (band_px, CHUNK)
-        e0 = c[0:1] * px + c[1:2] * py + c[2:3]
-        e1 = c[3:4] * px + c[4:5] * py + c[5:6]
-        ez = c[6:7] * px + c[7:8] * py + c[8:9]
+        # anchored outer-product affine eval -> (band_px, CHUNK)
+        qx = px - c[9:10]
+        qy = py - c[10:11]
+        e0 = c[0:1] * qx + c[1:2] * qy + c[2:3]
+        e1 = c[3:4] * qx + c[4:5] * qy + c[5:6]
+        ez = c[6:7] * qx + c[7:8] * qy + c[8:9]
         cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
         zm = jnp.where(cov, ez, jnp.inf)
 
@@ -210,10 +214,10 @@ def rasterize_batch(verts_ndc, faces, *, height: int, width: int, cfg=None,
         records, safe.reshape(records.shape[0], -1, 1), axis=1
     ).reshape(*tri_id.shape, _ROW_PAD)
     jj, ii = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
-    px = (jj + 0.5).astype(jnp.float32)[None]
-    py = (ii + 0.5).astype(jnp.float32)[None]
-    w0 = rec[..., 0] * px + rec[..., 1] * py + rec[..., 2]
-    w1 = rec[..., 3] * px + rec[..., 4] * py + rec[..., 5]
+    qx = (jj + 0.5).astype(jnp.float32)[None] - rec[..., 9]
+    qy = (ii + 0.5).astype(jnp.float32)[None] - rec[..., 10]
+    w0 = rec[..., 0] * qx + rec[..., 1] * qy + rec[..., 2]
+    w1 = rec[..., 3] * qx + rec[..., 4] * qy + rec[..., 5]
     bary = jnp.stack([w0, w1, 1.0 - w0 - w1], axis=-1)
     bary = jnp.where(hit[..., None], bary, 0.0)
     zbuf = jnp.where(hit, zbuf, jnp.inf)

@@ -70,11 +70,13 @@ def rasterize(verts_ndc, faces, *, height: int, width: int,
         px = jnp.broadcast_to(cols, (tile_h, width)).reshape(-1)
         pyf = jnp.broadcast_to(py, (tile_h, width)).reshape(-1)
 
-        # (C, P) affine evaluation + coverage + depth
-        w0 = c[:, 0:1] * px[None] + c[:, 1:2] * pyf[None] + c[:, 2:3]
-        w1 = c[:, 3:4] * px[None] + c[:, 4:5] * pyf[None] + c[:, 5:6]
+        # (C, P) anchored affine evaluation + coverage + depth
+        qx = px[None] - c[:, 9:10]
+        qy = pyf[None] - c[:, 10:11]
+        w0 = c[:, 0:1] * qx + c[:, 1:2] * qy + c[:, 2:3]
+        w1 = c[:, 3:4] * qx + c[:, 4:5] * qy + c[:, 5:6]
         cov = (w0 >= 0) & (w1 >= 0) & (w0 + w1 <= 1.0) & live[:, None]
-        z = c[:, 6:7] * px[None] + c[:, 7:8] * pyf[None] + c[:, 8:9]
+        z = c[:, 6:7] * qx + c[:, 7:8] * qy + c[:, 8:9]
         zm = jnp.where(cov, z, jnp.inf)
 
         k = jnp.argmin(zm, axis=0)                            # (P,)
