@@ -1,0 +1,48 @@
+"""Background-prefetching data feeder — completes SURVEY.md §3 C18 (K6).
+
+Host-side CPU preprocessing must overlap device steps; this wraps any batch
+iterator with a bounded background-thread prefetch queue (the tf.data-free
+equivalent the TPU rebuild uses, SURVEY.md §2 K6).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+
+class PrefetchIterator:
+    """Iterates `source` on a background thread, `depth` batches ahead."""
+
+    def __init__(self, source: Iterable, depth: int = 2):
+        self._source = iter(source)
+        self._queue: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        try:
+            for item in self._source:
+                self._queue.put(item)
+        except BaseException as e:  # surfaced on the consumer thread
+            self._err = e
+        finally:
+            self._queue.put(self._done)
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._done:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def prefetch(source: Iterable, depth: int = 2) -> PrefetchIterator:
+    return PrefetchIterator(source, depth)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import ops as jops
 
@@ -39,17 +40,24 @@ def device_bfm(assets) -> DeviceBFM:
 
 # --- C3: shape/texture synthesis (SURVEY.md §9.1) ---
 
+# TPU matmuls default to bf16 passes; the fidelity contract (vertex MAE
+# < 1e-3 vs the CPU oracle) requires true-f32 synthesis — bf16 here measured
+# 1.1e-3 vertex MAE and 84% tri_id agreement at full scale.
+_F32 = jax.lax.Precision.HIGHEST
+
+
 def shape_formation(alpha, beta, bfm: DeviceBFM) -> jnp.ndarray:
     """S = S_mean + A_id alpha + A_exp beta  -> (B, N, 3)."""
     flat = (bfm.mean_shape[None, :]
-            + alpha @ bfm.id_basis.T
-            + beta @ bfm.exp_basis.T)
+            + jnp.matmul(alpha, bfm.id_basis.T, precision=_F32)
+            + jnp.matmul(beta, bfm.exp_basis.T, precision=_F32))
     return flat.reshape(alpha.shape[0], -1, 3)
 
 
 def texture_formation(delta, bfm: DeviceBFM) -> jnp.ndarray:
     """T = T_mean + A_tex delta, scaled to [0,1] -> (B, N, 3)."""
-    flat = bfm.mean_tex[None, :] + delta @ bfm.tex_basis.T
+    flat = (bfm.mean_tex[None, :]
+            + jnp.matmul(delta, bfm.tex_basis.T, precision=_F32))
     return (flat / 255.0).reshape(delta.shape[0], -1, 3)
 
 
@@ -70,12 +78,15 @@ def compute_rotation(angles) -> jnp.ndarray:
     rz = jnp.stack([c(psi), -s(psi), zero,
                     s(psi), c(psi), zero,
                     zero, zero, one], -1).reshape(*psi.shape, 3, 3)
-    return rz @ ry @ rx
+    # even 3x3 composes at bf16 by default on TPU (1e-3 error in R)
+    return jnp.matmul(jnp.matmul(rz, ry, precision=_F32), rx,
+                      precision=_F32)
 
 
 def rigid_transform(shape, rotation, trans) -> jnp.ndarray:
     """V = S R^T + t : (B,N,3),(B,3,3),(B,3) -> (B,N,3)."""
-    return jnp.einsum("bni,bji->bnj", shape, rotation) + trans[:, None, :]
+    return (jnp.einsum("bni,bji->bnj", shape, rotation, precision=_F32)
+            + trans[:, None, :])
 
 
 # --- C5: camera & projection (SURVEY.md §9.3) ---
@@ -150,7 +161,7 @@ def coeffs_to_geometry(c: Coeffs, bfm: DeviceBFM,
     n_vertices = shape.shape[-2]
     # normals rotate with the mesh: compute in canonical frame, rotate
     normals = compute_norm(shape, bfm.faces, n_vertices)
-    normals = jnp.einsum("bni,bji->bnj", normals, rot)
+    normals = jnp.einsum("bni,bji->bnj", normals, rot, precision=_F32)
     return Geometry(
         shape=shape,
         verts_world=verts,

@@ -7,6 +7,7 @@ the 9-dim SH basis of the vertex normal and e1 adds 1 to the DC term.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _A0 = np.pi
@@ -47,5 +48,6 @@ def illuminate(texture: jnp.ndarray, normals: jnp.ndarray,
     y = sh_basis(normals)                       # (B,N,9)
     g = gamma.reshape(*gamma.shape[:-1], 3, 9)  # (B,3,9)
     g = g.at[..., 0].add(1.0)                   # ambient init on DC term
-    light = jnp.einsum("bnk,bck->bnc", y, g)    # (B,N,3)
+    light = jnp.einsum("bnk,bck->bnc", y, g,
+                       precision=jax.lax.Precision.HIGHEST)  # (B,N,3)
     return texture * light

@@ -173,8 +173,13 @@ def interpolate(tri_id, bary, faces, attrs):
     return np.where((tri_id >= 0)[..., None], out, 0.0).astype(np.float32)
 
 
-def render_coeffs(coeff, assets, cfg: FaceReconConfig, background=None):
-    """Full single-image render path: coeffs -> rendered image + extras."""
+def render_coeffs(coeff, assets, cfg: FaceReconConfig, background=None,
+                  rasterize_fn=None):
+    """Full single-image render path: coeffs -> rendered image + extras.
+
+    rasterize_fn: drop-in rasterizer override (e.g. the bitwise-identical
+    native C++ one, utils/native_oracle.py, ~100x faster at full scale).
+    """
     alpha, beta, delta, angles, gamma, trans = split_coeff(coeff, cfg)
     shape = shape_formation(alpha, beta, assets)
     tex = texture_formation(delta, assets)
@@ -184,7 +189,8 @@ def render_coeffs(coeff, assets, cfg: FaceReconConfig, background=None):
     radiance = illuminate(tex, normals, gamma)
     vndc = to_ndc(verts, cfg)
     h = w = cfg.image_size
-    tri_id, bary, zbuf = rasterize(vndc, assets.faces, h, w)
+    tri_id, bary, zbuf = (rasterize_fn or rasterize)(
+        vndc, assets.faces, h, w)
     color = interpolate(tri_id, bary, assets.faces, radiance)
     mask = (tri_id >= 0).astype(np.float32)
     if background is None:

@@ -118,7 +118,10 @@ def run(args) -> dict:
         state = TrainState(*pmesh.replicate(mesh, tuple(state)))
     bfm = pmesh.replicate(mesh, pipe.bfm) if multi else pipe.bfm
 
-    data = synthetic_batches(pipe.bfm, cfg, cfg.batch_size, seed=args.seed + 1)
+    from facerecon_tpu.data.feeder import prefetch
+    data = prefetch(
+        synthetic_batches(pipe.bfm, cfg, cfg.batch_size, seed=args.seed + 1),
+        depth=2)
     t0 = time.time()
     first_loss = last_loss = None
     for i in range(args.steps):
