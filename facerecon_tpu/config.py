@@ -46,9 +46,9 @@ class FaceReconConfig:
     landmark_weight_inner: float = 20.0  # nose + inner mouth up-weight
 
     # --- rasterizer tiling (Pallas kernel, SURVEY.md §9.5) ---
-    # 4-row bands measured fastest at 224px on v5e (fewer candidate-pixel
-    # pairs than 8; less per-chunk overhead amortization loss than 2)
-    tile_h: int = 4
+    # 2-row bands measured fastest at 224px on v5e with the unrolled kernel
+    # (fewest candidate-pixel pairs; unrolling amortizes loop overhead)
+    tile_h: int = 2
     tile_w: int = 128
     # max candidate triangles per tile after binning; padded/truncated to this
     max_tris_per_tile: int = 4096

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from facerecon_tpu.ops.rasterize_jnp import ndc_to_screen
@@ -47,10 +48,11 @@ class TriSetup(NamedTuple):
 
 
 def triangle_setup(verts_ndc, faces, height: int, width: int,
-                   cull_backfaces: bool = False):
-    """Per-triangle affine coefficients + y-extent. Unsorted.
+                   cull_backfaces: bool = False, with_x: bool = False):
+    """Per-triangle affine coefficients + extents. Unsorted.
 
-    Returns (coeffs (F,10), ymax (F,)).
+    Returns (coeffs (F, SETUP_WIDTH), ymax) or, with with_x=True,
+    (coeffs, (ymax, xmin, xmax)).
     """
     screen = ndc_to_screen(verts_ndc, height, width)     # (N,2)
     depth = verts_ndc[:, 2]
@@ -107,50 +109,75 @@ def triangle_setup(verts_ndc, faces, height: int, width: int,
 
     coeffs = jnp.stack(
         [wa0, wb0, wc0, wa1, wb1, wc1, za, zb, zc, x0, y0, ymin], axis=-1)
+    if with_x:
+        xmin = jnp.minimum(jnp.minimum(p0[:, 0], p1[:, 0]), p2[:, 0])
+        xmax = jnp.maximum(jnp.maximum(p0[:, 0], p1[:, 0]), p2[:, 0])
+        xmin = jnp.where(dead, big, xmin)
+        xmax = jnp.where(dead, -big, xmax)
+        return coeffs, (ymax, xmin, xmax)
     return coeffs, ymax
 
 
 class StaticSetup(NamedTuple):
     coeffs: jnp.ndarray      # (F, SETUP_WIDTH) f32, ORIGINAL face order
-    band_lo: jnp.ndarray     # (n_bands,) int32 first chunk index per band
-    n_chunks: jnp.ndarray    # (n_bands,) int32 chunk count per band
+    band_lo: jnp.ndarray     # (n_bands, n_cols) int32 first chunk per tile
+    n_chunks: jnp.ndarray    # (n_bands, n_cols) int32 window chunk count
 
 
 def bin_triangles_static(verts_ndc, faces, height: int, width: int,
                          tile_h: int, chunk: int,
-                         cull_backfaces: bool = False) -> StaticSetup:
-    """Sort-free binning for spatially coherent face orderings.
+                         cull_backfaces: bool = False,
+                         tile_w: int = 128) -> StaticSetup:
+    """Sort-free 2-D binning for spatially coherent face orderings.
 
     A per-frame ymin argsort costs ~1.8 ms/face on v5e — half the rasterizer
     time. Real face meshes (and the synthetic grid generator) store faces in
     spatially coherent order (mesh-row-major), and the data pipeline ALIGNS
     faces (roll removed), so consecutive `chunk`-sized groups of faces have
-    tight screen-y extents. Each band's candidates are then the contiguous
-    span of chunks whose [ymin, ymax] intersects it — conservative-exact,
-    contiguous, and in ORIGINAL face order (ties resolve to the lowest face
-    id, exactly matching the oracle). Under heavy in-plane rotation the
-    spans widen (graceful perf degradation, never incorrectness).
+    tight screen x/y extents. Each (band, column-tile)'s candidates are then
+    the contiguous span of chunks whose bbox intersects it —
+    conservative-exact, contiguous, and in ORIGINAL face order (ties resolve
+    to the lowest face id, exactly matching the oracle). A mesh row spans
+    the face width while a 128-triangle chunk spans ~1/3 of it, so column
+    windows prune ~40% of candidate-pixel pairs at 224px (more at 512px).
+    Under heavy in-plane rotation the spans widen (graceful perf
+    degradation, never incorrectness).
     """
-    coeffs, ymax = triangle_setup(verts_ndc, faces, height, width,
-                                  cull_backfaces)
+    coeffs, extents = triangle_setup(verts_ndc, faces, height, width,
+                                     cull_backfaces, with_x=True)
+    ymax, xmin, xmax = extents
     f = coeffs.shape[0]
     pad = (-f) % chunk
-    ymin_t = jnp.pad(coeffs[:, YMIN_IDX], (0, pad), constant_values=3e38)
-    ymax_t = jnp.pad(ymax, (0, pad), constant_values=-3e38)
+    big = 3e38
+    ymin_t = jnp.pad(coeffs[:, YMIN_IDX], (0, pad), constant_values=big)
+    ymax_t = jnp.pad(ymax, (0, pad), constant_values=-big)
+    xmin_t = jnp.pad(xmin, (0, pad), constant_values=big)
+    xmax_t = jnp.pad(xmax, (0, pad), constant_values=-big)
     nct = ymin_t.shape[0] // chunk
     cymin = jnp.min(ymin_t.reshape(nct, chunk), axis=1)   # (nct,)
     cymax = jnp.max(ymax_t.reshape(nct, chunk), axis=1)
+    cxmin = jnp.min(xmin_t.reshape(nct, chunk), axis=1)
+    cxmax = jnp.max(xmax_t.reshape(nct, chunk), axis=1)
 
     n_bands = (height + tile_h - 1) // tile_h
+    n_cols = (width + tile_w - 1) // tile_w
     band_tops = jnp.arange(n_bands, dtype=jnp.float32) * tile_h
-    band_bots = band_tops + tile_h
-    hit = ((cymin[None, :] <= band_bots[:, None])
-           & (cymax[None, :] >= band_tops[:, None]))      # (n_bands, nct)
-    any_hit = jnp.any(hit, axis=1)
-    first = jnp.argmax(hit, axis=1).astype(jnp.int32)
-    last = (nct - 1 - jnp.argmax(hit[:, ::-1], axis=1)).astype(jnp.int32)
+    col_lefts = jnp.arange(n_cols, dtype=jnp.float32) * tile_w
+    hit_y = ((cymin[None, :] <= (band_tops + tile_h)[:, None])
+             & (cymax[None, :] >= band_tops[:, None]))    # (n_bands, nct)
+    hit_x = ((cxmin[None, :] <= (col_lefts + tile_w)[:, None])
+             & (cxmax[None, :] >= col_lefts[:, None]))    # (n_cols, nct)
+    hit = hit_y[:, None, :] & hit_x[None, :, :]           # (bands, cols, nct)
+    any_hit = jnp.any(hit, axis=-1)
+    first = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    last = (nct - 1 - jnp.argmax(hit[:, :, ::-1], axis=-1)).astype(jnp.int32)
     band_lo = jnp.where(any_hit, first, 0)
     n_chunks = jnp.where(any_hit, last - first + 1, 0).astype(jnp.int32)
+    # NOTE: per-(band,col) disjoint chunk RUN lists were tried (one run per
+    # mesh row crossing the tile) and measured SLOWER than the plain window:
+    # runs are 1-3 chunks long while the backend's fixed cost per loop
+    # iteration (~2.4us) dominates — the win comes from unrolling chunks per
+    # iteration instead (rasterize_pallas._UNROLL).
     return StaticSetup(coeffs=coeffs, band_lo=band_lo, n_chunks=n_chunks)
 
 

@@ -37,22 +37,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from facerecon_tpu.ops.binning import SETUP_WIDTH, bin_triangles_static
 
-_CHUNK = 128          # triangles per inner step (= lane count)
+_CHUNK = 128          # triangles per eval step (= lane count)
 _WINDOW = 128         # chunks fetched per band in ONE DMA (1 MB scratch) —
                       # must cover the widest band span (rotation widens
                       # static-order spans; 64 truncated coverage at ~6% px)
 _ROW_PAD = 16         # setup record fields padded 10 -> 16 for tiling
+_UNROLL = 8           # chunks evaluated per loop iteration: each fori
+                      # iteration costs ~2.4us of fixed overhead on this
+                      # backend, which dominated at 1 chunk/iteration
 
 
-def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch, sem,
-            *, tile_h: int, width_pad: int, band_px: int):
-    """Per (image, band) program. The band's whole candidate window is
-    fetched HBM->VMEM in ONE DMA (per-chunk DMA bookkeeping dominated the
-    runtime), then a clean fori_loop evaluates 128-triangle chunks."""
+def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch,
+            sem, *, tile_h: int, tile_w: int, band_px: int):
+    """Per (image, band) program. The band's covering candidate window is
+    fetched HBM->VMEM in ONE DMA, then evaluated _UNROLL chunks per loop
+    iteration. Tail over-read is safe and correct: window chunks beyond the
+    live count are real padded/neighbouring records whose coverage test
+    rejects or legitimately wins, and the z-test is idempotent.
+
+    Scalars are flattened to (B, n_bands): a short trailing dim would pad to
+    128 lanes in SMEM (64x memory blowup)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
-    lo_chunk = lo_ref[b, t]      # first 128-aligned chunk index
-    n_chunks = nc_ref[b, t]      # number of live chunks in this band
+    lo_chunk = lo_ref[b, t]        # DMA window base
+    n_chunks = nc_ref[b, t]        # live chunk count in the window
 
     dma = pltpu.make_async_copy(
         coeffs_hbm.at[b, pl.ds(lo_chunk, _WINDOW)], scratch, sem)
@@ -62,8 +70,8 @@ def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch, sem,
     # stays on the VPU — an MXU (band_px,3)@(3,CHUNK) form was tried and is
     # 2x SLOWER because K=3 pads to the 128-deep systolic array (16x waste)
     flat_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, _CHUNK), 0)
-    px = (flat_i % width_pad).astype(jnp.float32) + 0.5
-    py = ((flat_i // width_pad).astype(jnp.float32)
+    px = (flat_i % tile_w).astype(jnp.float32) + 0.5
+    py = ((flat_i // tile_w).astype(jnp.float32)
           + jnp.float32(t * tile_h) + 0.5)
 
     # f32 lane indices: cross-lane min is native for f32 but emulated (and
@@ -73,9 +81,10 @@ def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch, sem,
 
     dma.wait()
 
-    def chunk_body(j, carry):
+    def eval_chunk(k, carry):
+        """One 128-triangle chunk at window-relative index k (traced)."""
         zbest, posbest = carry
-        c = scratch[j]                           # (16 fields, CHUNK tris)
+        c = scratch[k]                            # (16 fields, CHUNK tris)
         # anchored outer-product affine eval -> (band_px, CHUNK)
         qx = px - c[9:10]
         qy = py - c[10:11]
@@ -92,13 +101,20 @@ def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch, sem,
         zbest = jnp.where(better, zmin, zbest)
         win = win_f.astype(jnp.int32)                            # (band_px,1)
         posbest = jnp.where(
-            better, (lo_chunk + j) * _CHUNK + win, posbest)
+            better, (lo_chunk + k) * _CHUNK + win, posbest)
         return zbest, posbest
+
+    def group_body(g, carry):
+        base = g * _UNROLL
+        for u in range(_UNROLL):
+            # clamp inside the window; duplicate evaluation is idempotent
+            carry = eval_chunk(jnp.minimum(base + u, _WINDOW - 1), carry)
+        return carry
 
     init = (jnp.full((band_px, 1), jnp.inf, jnp.float32),
             jnp.full((band_px, 1), -1, jnp.int32))
-    zbest, posbest = jax.lax.fori_loop(
-        0, jnp.minimum(n_chunks, _WINDOW), chunk_body, init)
+    n_groups = (jnp.minimum(n_chunks, _WINDOW) + _UNROLL - 1) // _UNROLL
+    zbest, posbest = jax.lax.fori_loop(0, n_groups, group_body, init)
     pos_ref[0, 0] = posbest
     z_ref[0, 0] = zbest
 
@@ -126,18 +142,22 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
     records in face order, zbuf (B,H,W) f32).
     """
     bsz = verts_ndc.shape[0]
-    width_pad = ((width + 127) // 128) * 128
+    tile_w = ((width + 127) // 128) * 128   # one full-width column tile
     n_bands = (height + tile_h - 1) // tile_h
-    band_px = tile_h * width_pad
+    band_px = tile_h * tile_w
 
     # sort-free static binning: faces stay in original order (coherent
-    # orderings assumed — see ops/binning.py bin_triangles_static)
+    # orderings assumed — see ops/binning.py bin_triangles_static). One
+    # column tile: per-column windows prune nothing (every mesh row spans
+    # both columns) and per-run loops pay the fixed per-iteration cost more
+    # than they save.
     setup = jax.vmap(
         lambda v: bin_triangles_static(v, faces, height, width, tile_h,
-                                       _CHUNK, cull_backfaces))(verts_ndc)
+                                       _CHUNK, cull_backfaces,
+                                       tile_w=tile_w))(verts_ndc)
     f = setup.coeffs.shape[1]
-    lo_chunk = setup.band_lo
-    n_chunks = setup.n_chunks
+    lo_chunk = setup.band_lo[:, :, 0]       # (B, n_bands)
+    n_chunks = setup.n_chunks[:, :, 0]
 
     # pad triangle axis to whole chunks plus a full DMA window of slack so
     # the fixed-size per-band fetch stays in bounds; records 10 -> 16
@@ -155,10 +175,10 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
     coeffs_k = jnp.swapaxes(coeffs_k, 2, 3)              # (B, nct, 16, CHUNK)
 
     pos, zbuf = pl.pallas_call(
-        functools.partial(_kernel, tile_h=tile_h, width_pad=width_pad,
+        functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
                           band_px=band_px),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,            # lo_chunk, n_chunks
+            num_scalar_prefetch=2,            # window lo, chunk counts
             grid=(bsz, n_bands),
             in_specs=[
                 # full array stays in HBM; the kernel DMAs per-band slices
@@ -182,10 +202,10 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
             jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(lo_chunk.astype(jnp.int32), n_chunks, coeffs_k)
+    )(lo_chunk.astype(jnp.int32), n_chunks.astype(jnp.int32), coeffs_k)
 
-    pos = pos.reshape(bsz, n_bands * tile_h, width_pad)[:, :height, :width]
-    zbuf = zbuf.reshape(bsz, n_bands * tile_h, width_pad)[:, :height, :width]
+    pos = pos.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
+    zbuf = zbuf.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
     # positions beyond the live face count are dead padding (can win only
     # never — but guard anyway); pos IS the face id in original order
     pos = jnp.where(pos < faces.shape[0], pos, -1)
