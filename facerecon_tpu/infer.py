@@ -41,6 +41,34 @@ def save_image(path: str, img: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+def landmark_overlay(image: np.ndarray, lmk: np.ndarray,
+                     radius: int = 1) -> np.ndarray:
+    """Landmark overlay plot (SURVEY.md §2 L7): green dots on the image."""
+    out = np.array(image, dtype=np.float32, copy=True)
+    h, w = out.shape[:2]
+    for x, y in lmk:
+        xi, yi = int(round(x)), int(round(y))
+        y0, y1 = max(yi - radius, 0), min(yi + radius + 1, h)
+        x0, x1 = max(xi - radius, 0), min(xi + radius + 1, w)
+        if y0 < y1 and x0 < x1:
+            out[y0:y1, x0:x1] = np.array([0.0, 1.0, 0.0])
+    return out
+
+
+def depth_to_image(mask: np.ndarray, verts_ndc: np.ndarray,
+                   tri_id: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Depth dump (SURVEY.md §2 L7): normalized inverse depth, gray ramp.
+
+    Per-pixel depth approximated by the winning triangle's mean vertex depth
+    (sub-triangle precision is irrelevant for a visualization dump)."""
+    depth = verts_ndc[:, 2]
+    tri_depth3 = depth[faces[np.maximum(tri_id, 0)]]    # (H,W,3)
+    tri_depth = np.where(mask, tri_depth3.mean(-1), np.nan)
+    lo, hi = np.nanmin(tri_depth), np.nanmax(tri_depth)
+    norm = np.where(mask, 1.0 - (tri_depth - lo) / max(hi - lo, 1e-6), 0.0)
+    return np.repeat(norm[..., None], 3, axis=-1)
+
+
 def get_assets(args, cfg: FaceReconConfig) -> BFMAssets:
     if args.bfm:
         return load_npz(args.bfm)
@@ -96,6 +124,15 @@ def run(args) -> dict:
                    fmt="%.4f")
         np.save(os.path.join(args.out, f"{name}_coeffs.npy"),
                 np.asarray(coeff_vec)[i])
+        if args.overlay:
+            save_image(os.path.join(args.out, f"{name}_overlay.png"),
+                       landmark_overlay(images[i], lmk[i]))
+        if args.depth:
+            save_image(os.path.join(args.out, f"{name}_depth.png"),
+                       depth_to_image(np.asarray(out.tri_id)[i] >= 0,
+                                      np.asarray(out.geometry.verts_ndc)[i],
+                                      np.asarray(out.tri_id)[i],
+                                      assets.faces))
     if gt_lmk is not None:
         report["landmark_rmse_px"] = landmark_rmse(lmk, gt_lmk)
         report["render_psnr_db"] = psnr(np.clip(rendered, 0, 1), images)
@@ -114,6 +151,9 @@ def main(argv=None):
     p.add_argument("--bfm", default=None, help=".npz BFM asset pack")
     p.add_argument("--tiny", action="store_true", help="tiny test config")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--overlay", action="store_true",
+                   help="save landmark overlay plots")
+    p.add_argument("--depth", action="store_true", help="save depth dumps")
     p.add_argument("--platform", default=None,
                    help="jax platform override (e.g. cpu)")
     args = p.parse_args(argv)
