@@ -118,6 +118,14 @@ def run(args) -> dict:
         state = TrainState(*pmesh.replicate(mesh, tuple(state)))
     bfm = pmesh.replicate(mesh, pipe.bfm) if multi else pipe.bfm
 
+    writer = None
+    if args.tensorboard:
+        try:  # clu is installed in the target env (SURVEY.md §6); optional
+            from clu import metric_writers
+            writer = metric_writers.create_default_writer(args.tensorboard)
+        except Exception as e:
+            print(f"tensorboard writer unavailable: {e}")
+
     from facerecon_tpu.data.feeder import prefetch
     data = prefetch(
         synthetic_batches(pipe.bfm, cfg, cfg.batch_size, seed=args.seed + 1),
@@ -142,6 +150,9 @@ def run(args) -> dict:
                 "step": i + 1,
                 **{k: round(float(v), 5) for k, v in parts.items()},
                 "faces_per_sec": round(rate, 1)}))
+            if writer is not None:
+                writer.write_scalars(
+                    i + 1, {k: float(v) for k, v in parts.items()})
         if mgr and (i + 1) % cfg.checkpoint_every == 0:
             mgr.save(int(state.step), {
                 "variables": jax.device_get(state.variables),
@@ -169,6 +180,8 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-landmarks", action="store_true")
+    p.add_argument("--tensorboard", default=None,
+                   help="directory for CLU/TensorBoard scalar summaries")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=0)
