@@ -38,9 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 from facerecon_tpu.ops.binning import SETUP_WIDTH, bin_triangles_static
 
 _CHUNK = 128          # triangles per eval step (= lane count)
-_WINDOW = 128         # chunks fetched per band in ONE DMA (1 MB scratch) —
-                      # must cover the widest band span (rotation widens
-                      # static-order spans; 64 truncated coverage at ~6% px)
+_WINDOW = 128         # max chunks per band (1 MB scratch) — must cover the
+                      # widest band span (rotation widens static-order
+                      # spans; 64 truncated coverage at ~6% px)
+_HEAD = 16            # chunks in the eager head DMA: typical bands need ~13
+                      # chunks, so most bands transfer 128 KB instead of
+                      # 1 MB; the tail DMA is issued only when needed and
+                      # waited on only when the loop reaches it
 _ROW_PAD = 16         # setup record fields padded 10 -> 16 for tiling
 _UNROLL = 8           # chunks evaluated per loop iteration: each fori
                       # iteration costs ~2.4us of fixed overhead on this
@@ -62,9 +66,20 @@ def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch,
     lo_chunk = lo_ref[b, t]        # DMA window base
     n_chunks = nc_ref[b, t]        # live chunk count in the window
 
-    dma = pltpu.make_async_copy(
-        coeffs_hbm.at[b, pl.ds(lo_chunk, _WINDOW)], scratch, sem)
-    dma.start()
+    head_dma = pltpu.make_async_copy(
+        coeffs_hbm.at[b, pl.ds(lo_chunk, _HEAD)],
+        scratch.at[pl.ds(0, _HEAD)], sem.at[0])
+    head_dma.start()
+    has_tail = n_chunks > _HEAD
+
+    def tail_dma():
+        return pltpu.make_async_copy(
+            coeffs_hbm.at[b, pl.ds(lo_chunk + _HEAD, _WINDOW - _HEAD)],
+            scratch.at[pl.ds(_HEAD, _WINDOW - _HEAD)], sem.at[1])
+
+    @pl.when(has_tail)
+    def _():
+        tail_dma().start()
 
     # pixel coordinates pre-broadcast to (band_px, CHUNK): the affine eval
     # stays on the VPU — an MXU (band_px,3)@(3,CHUNK) form was tried and is
@@ -79,7 +94,7 @@ def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch,
     lane_f = jax.lax.broadcasted_iota(
         jnp.int32, (band_px, _CHUNK), 1).astype(jnp.float32)
 
-    dma.wait()
+    head_dma.wait()
 
     def eval_chunk(k, carry):
         """One 128-triangle chunk at window-relative index k (traced)."""
@@ -113,8 +128,18 @@ def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch,
 
     init = (jnp.full((band_px, 1), jnp.inf, jnp.float32),
             jnp.full((band_px, 1), -1, jnp.int32))
-    n_groups = (jnp.minimum(n_chunks, _WINDOW) + _UNROLL - 1) // _UNROLL
-    zbest, posbest = jax.lax.fori_loop(0, n_groups, group_body, init)
+    nc = jnp.minimum(n_chunks, _WINDOW)
+    # head chunks overlap with the (rare) tail transfer
+    n_head_groups = jnp.minimum(nc, _HEAD) // _UNROLL  # _HEAD % _UNROLL == 0
+    carry = jax.lax.fori_loop(0, n_head_groups, group_body, init)
+
+    @pl.when(has_tail)
+    def _():
+        tail_dma().wait()
+
+    n_groups = (nc + _UNROLL - 1) // _UNROLL
+    zbest, posbest = jax.lax.fori_loop(
+        n_head_groups, n_groups, group_body, carry)
     pos_ref[0, 0] = posbest
     z_ref[0, 0] = zbest
 
@@ -186,7 +211,7 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
             ],
             scratch_shapes=[
                 pltpu.VMEM((_WINDOW, _ROW_PAD, _CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, band_px, 1),
