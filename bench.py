@@ -51,7 +51,10 @@ def main():
 
         def one(im):
             coeff_vec, _, out = inner(variables, bfm, im)
-            return coeff_vec, out.mask
+            # depend on the rendered IMAGE: returning only mask/coeffs lets
+            # XLA dead-code-eliminate the shading+interpolation stage and
+            # silently benchmarks regress+rasterize instead of full render
+            return coeff_vec, jnp.mean(out.image, axis=(1, 2, 3))
 
         coeffs, masks = jax.lax.map(one, ims)
         return coeffs.reshape(batch, -1), masks.reshape(batch,

@@ -31,6 +31,7 @@ class DeviceBFM(NamedTuple):
     faces: jnp.ndarray           # (F, 3) int32
     landmark_index: jnp.ndarray  # (68,) int32
     skin_mask: jnp.ndarray       # (N,) f32
+    vertex_face_adj: jnp.ndarray  # (N, deg_max) int32, F = pad sentinel
 
 
 def device_bfm(assets) -> DeviceBFM:
@@ -118,17 +119,35 @@ def to_ndc(verts, cfg: FaceReconConfig) -> jnp.ndarray:
 
 # --- C6: vertex normals (area-weighted, SURVEY.md §9.4) ---
 
-def compute_norm(verts, faces, n_vertices: int) -> jnp.ndarray:
-    """Per-vertex normals: face cross products segment-summed, normalized."""
+def compute_norm(verts, faces, n_vertices: int, adj=None) -> jnp.ndarray:
+    """Per-vertex normals: area-weighted face normals summed per vertex.
+
+    With `adj` (precomputed (N, deg_max) vertex->face adjacency, padded with
+    F) the accumulation is a fixed GATHER — TPU scatters (segment_sum) cost
+    ~1 element/cycle and dominated geometry time; without adj the
+    segment_sum fallback is used (arbitrary meshes at load time get
+    adjacency from utils.bfm.vertex_face_adjacency anyway).
+    """
     v0 = jnp.take(verts, faces[:, 0], axis=-2)
     v1 = jnp.take(verts, faces[:, 1], axis=-2)
     v2 = jnp.take(verts, faces[:, 2], axis=-2)
     face_n = jnp.cross(v1 - v0, v2 - v0)  # area-weighted (not normalized)
-    idx = faces.reshape(-1)  # (3F,)
-    tiled = jnp.repeat(face_n, 3, axis=-2)  # (..., 3F, 3)
-    vert_n = jops.segment_sum(
-        jnp.moveaxis(tiled, -2, 0), idx, num_segments=n_vertices)
-    vert_n = jnp.moveaxis(vert_n, 0, -2)
+    if adj is not None:
+        # pad a zero row at index F (the adjacency pad sentinel)
+        pad_shape = list(face_n.shape)
+        pad_shape[-2] = 1
+        face_n_pad = jnp.concatenate(
+            [face_n, jnp.zeros(pad_shape, face_n.dtype)], axis=-2)
+        gathered = jnp.take(face_n_pad, adj.reshape(-1), axis=-2)
+        gathered = gathered.reshape(
+            *face_n.shape[:-2], n_vertices, adj.shape[1], 3)
+        vert_n = jnp.sum(gathered, axis=-2)
+    else:
+        idx = faces.reshape(-1)  # (3F,)
+        tiled = jnp.repeat(face_n, 3, axis=-2)  # (..., 3F, 3)
+        vert_n = jops.segment_sum(
+            jnp.moveaxis(tiled, -2, 0), idx, num_segments=n_vertices)
+        vert_n = jnp.moveaxis(vert_n, 0, -2)
     norm = jnp.linalg.norm(vert_n, axis=-1, keepdims=True)
     return vert_n / jnp.maximum(norm, 1e-8)
 
@@ -160,7 +179,8 @@ def coeffs_to_geometry(c: Coeffs, bfm: DeviceBFM,
     verts = rigid_transform(shape, rot, c.trans)
     n_vertices = shape.shape[-2]
     # normals rotate with the mesh: compute in canonical frame, rotate
-    normals = compute_norm(shape, bfm.faces, n_vertices)
+    normals = compute_norm(shape, bfm.faces, n_vertices,
+                           adj=bfm.vertex_face_adj)
     normals = jnp.einsum("bni,bji->bnj", normals, rot, precision=_F32)
     return Geometry(
         shape=shape,

@@ -144,6 +144,11 @@ def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch,
     z_ref[0, 0] = zbest
 
 
+def padded_rows(n_faces: int) -> int:
+    """Static row count of the padded setup/record arrays for n_faces."""
+    return ((n_faces + _CHUNK - 1) // _CHUNK + _WINDOW) * _CHUNK
+
+
 def is_available() -> bool:
     """Used by ops/render.py to pick the hard-visibility backend: the Pallas
     kernel on real TPU, the tiled-jnp path elsewhere (interpret mode stays
@@ -234,7 +239,9 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
     # positions beyond the live face count are dead padding (can win only
     # never — but guard anyway); pos IS the face id in original order
     pos = jnp.where(pos < faces.shape[0], pos, -1)
-    return pos, flat_records, zbuf
+    # band windows + padded row count: consumers (ops/select_pallas.py) use
+    # the same chunk indexing to fetch per-pixel records MXU-side
+    return pos, flat_records, zbuf, (lo_chunk, n_chunks, nct)
 
 
 @functools.partial(
@@ -248,7 +255,7 @@ def rasterize_batch(verts_ndc, faces, *, height: int, width: int, cfg=None,
     """
     if cfg is not None:
         tile_h = cfg.tile_h
-    tri_id, records, zbuf = rasterize_positions(
+    tri_id, records, zbuf, _ = rasterize_positions(
         verts_ndc, faces, height=height, width=width, tile_h=tile_h,
         cull_backfaces=cull_backfaces)
     hit = tri_id >= 0

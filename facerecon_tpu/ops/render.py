@@ -83,6 +83,80 @@ def interpolate(tri_id, bary, faces, attrs):
     return jnp.where((tri_id >= 0)[..., None], out, 0.0)
 
 
+def _pack_render_records(verts_ndc, radiance, faces, height: int,
+                         width: int, pad_rows: int):
+    """Per-face [radiance corners (9) | screen corners (6) | pad] -> (B, pad_rows, 16)."""
+    screen = rasterize_jnp.ndc_to_screen(verts_ndc, height, width)  # (B,N,2)
+    b = radiance.shape[0]
+    per_vert = jnp.concatenate([radiance, screen], axis=-1)   # (B, N, 5)
+    corners = jnp.take(per_vert, faces.reshape(-1), axis=1)   # (B, 3F, 5)
+    corners = corners.reshape(b, -1, 3, 5)
+    rad = corners[..., 0:3].reshape(b, -1, 9)
+    scr = corners[..., 3:5].reshape(b, -1, 6)
+    rec = jnp.concatenate(
+        [rad, scr, jnp.zeros((b, rad.shape[1], 1), rad.dtype)], axis=-1)
+    return jnp.pad(rec, ((0, 0), (0, pad_rows - rec.shape[1]), (0, 0)))
+
+
+def _shade_from_records(tri_id, px_rec, height: int, width: int):
+    """Barycentric blend from per-pixel records [r0..2(9), s0..2(6), pad].
+
+    Same differentiable math as shade_packed's tail: dL/dradiance and
+    dL/dV_xy flow through the record values; tri_id stays frozen.
+    """
+    jj, ii = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
+    px = (jj + 0.5).astype(jnp.float32)[None]
+    py = (ii + 0.5).astype(jnp.float32)[None]
+    x0, y0 = px_rec[..., 9], px_rec[..., 10]
+    x1, y1 = px_rec[..., 11], px_rec[..., 12]
+    x2, y2 = px_rec[..., 13], px_rec[..., 14]
+
+    def edge(ax, ay, bx, by):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    e0 = edge(x1, y1, x2, y2)
+    e1 = edge(x2, y2, x0, y0)
+    e2 = edge(x0, y0, x1, y1)
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    inv_area = jnp.where(area == 0, 0.0, 1.0 / area)
+    w0, w1, w2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
+    hit = (tri_id >= 0)[..., None]
+    bary = jnp.where(hit, jnp.stack([w0, w1, w2], axis=-1), 0.0)
+    color = (w0[..., None] * px_rec[..., 0:3]
+             + w1[..., None] * px_rec[..., 3:6]
+             + w2[..., None] * px_rec[..., 6:9])
+    return jnp.where(hit, color, 0.0), bary
+
+
+def shade_packed(tri_id, verts_ndc, radiance, faces, height: int,
+                 width: int):
+    """Differentiable shading via ONE packed per-pixel gather.
+
+    The naive path (gather 3 screen verts, gather 3x3 radiance, blend)
+    issues several multi-level element gathers per pixel; TPU gathers run at
+    ~element/cycle, which made shading 4x the cost of rasterization. Packing
+    each face's [radiance0..2 (9), screen0..2 (6)] into one contiguous
+    16-float record turns the pixel stage into a single row gather.
+    Gradients flow exactly as in barycentric_from_id + interpolate (same
+    edge-function math on the same gathered values): dL/dradiance through
+    the gathers, dL/dV_xy through the recomputed barycentrics, tri_id frozen.
+
+    Returns (color (B,H,W,3), bary (B,H,W,3)).
+    """
+    screen = rasterize_jnp.ndc_to_screen(verts_ndc, height, width)  # (B,N,2)
+    b = radiance.shape[0]
+    rad_f = jnp.take(radiance, faces.reshape(-1), axis=1)  # (B, 3F, 3)
+    rad_f = rad_f.reshape(b, -1, 9)                        # (B, F, 9)
+    scr_f = jnp.take(screen, faces.reshape(-1), axis=1)    # (B, 3F, 2)
+    scr_f = scr_f.reshape(b, -1, 6)                        # (B, F, 6)
+    rec = jnp.concatenate([rad_f, scr_f], axis=-1)         # (B, F, 15)
+
+    safe = jnp.maximum(tri_id, 0)
+    px_rec = jnp.take_along_axis(
+        rec, safe.reshape(b, -1, 1), axis=1).reshape(*tri_id.shape, 15)
+    return _shade_from_records(tri_id, px_rec, height, width)
+
+
 class RenderOut(NamedTuple):
     image: jnp.ndarray        # (B,H,W,3) composited render
     mask: jnp.ndarray         # (B,H,W) coverage (1 = face)
@@ -98,9 +172,28 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
                     image_size: Optional[int] = None) -> RenderOut:
     h = w = image_size or cfg.image_size
     radiance = sh_ops.illuminate(geom.texture, geom.normals, gamma)
-    tri_id = _rasterize_tri_id(geom.verts_ndc, bfm.faces, h, w, cfg)
-    bary = barycentric_from_id(tri_id, geom.verts_ndc, bfm.faces, h, w)
-    color = interpolate(tri_id, bary, bfm.faces, radiance)
+    from facerecon_tpu.ops import rasterize_pallas, rasterize_tiled
+    if rasterize_pallas.is_available():
+        # TPU: Pallas hard-visibility + MXU one-hot record select (dynamic
+        # per-pixel gathers are the slowest stage on TPU)
+        from facerecon_tpu.ops import select_pallas
+        vndc_ng = jax.lax.stop_gradient(geom.verts_ndc)
+        tri_id, _, _, (band_lo, band_nc, _) = \
+            rasterize_pallas.rasterize_positions(
+                vndc_ng, bfm.faces, height=h, width=w, tile_h=cfg.tile_h)
+        records = _pack_render_records(
+            geom.verts_ndc, radiance, bfm.faces, h, w,
+            rasterize_pallas.padded_rows(bfm.faces.shape[0]))
+        px_rec = select_pallas.select_rows(tri_id, records, band_lo,
+                                           band_nc, cfg.tile_h)
+        color, bary = _shade_from_records(tri_id, px_rec, h, w)
+    else:
+        tri_id = rasterize_tiled.rasterize_batch(
+            jax.lax.stop_gradient(geom.verts_ndc), bfm.faces, height=h,
+            width=w, tile_h=cfg.tile_h,
+            max_tris_per_band=cfg.max_tris_per_tile)[0]
+        color, bary = shade_packed(tri_id, geom.verts_ndc, radiance,
+                                   bfm.faces, h, w)
     mask = (tri_id >= 0).astype(jnp.float32)
     if background is None:
         background = jnp.zeros_like(color)

@@ -40,6 +40,7 @@ class BFMAssets:
     faces: np.ndarray           # (F, 3) int32, CCW
     landmark_index: np.ndarray  # (68,) int32
     skin_mask: np.ndarray       # (N,) f32 in [0,1]
+    vertex_face_adj: np.ndarray # (N, deg_max) int32, F = padding sentinel
 
     @property
     def n_vertices(self) -> int:
@@ -58,6 +59,28 @@ def load_npz(path: str) -> BFMAssets:
     with np.load(path) as z:
         fields = {f.name: z[f.name] for f in dataclasses.fields(BFMAssets)}
     return BFMAssets(**fields)
+
+
+def vertex_face_adjacency(faces: np.ndarray, n_vertices: int,
+                          deg_cap: int = 12) -> np.ndarray:
+    """(N, deg_max) face ids adjacent to each vertex; padded with F.
+
+    Converts the per-frame normals scatter (segment_sum, slow on TPU) into a
+    fixed gather: vertex normal = sum of adjacent face normals.
+    """
+    f = faces.shape[0]
+    v = faces.reshape(-1).astype(np.int64)        # (3F,)
+    f_ids = np.repeat(np.arange(f, dtype=np.int64), 3)
+    order = np.argsort(v, kind="stable")
+    v_s, f_s = v[order], f_ids[order]
+    counts = np.bincount(v_s, minlength=n_vertices)
+    deg_max = int(min(max(int(counts.max()), 1), deg_cap))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(3 * f) - starts[v_s]
+    keep = rank < deg_max
+    adj = np.full((n_vertices, deg_max), f, dtype=np.int32)
+    adj[v_s[keep], rank[keep]] = f_s[keep].astype(np.int32)
+    return adj
 
 
 def _grid_dims(n_target: int) -> tuple[int, int]:
@@ -139,4 +162,5 @@ def synthetic_bfm(cfg: FaceReconConfig, seed: int = 0) -> BFMAssets:
         mean_shape=mean_shape, id_basis=id_basis, exp_basis=exp_basis,
         mean_tex=mean_tex, tex_basis=tex_basis,
         sigma_id=sigma_id, sigma_exp=sigma_exp, sigma_tex=sigma_tex,
-        faces=faces, landmark_index=landmark_index, skin_mask=skin_mask)
+        faces=faces, landmark_index=landmark_index, skin_mask=skin_mask,
+        vertex_face_adj=vertex_face_adjacency(faces, n))
