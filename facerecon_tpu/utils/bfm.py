@@ -124,25 +124,13 @@ def synthetic_bfm(cfg: FaceReconConfig, seed: int = 0) -> BFMAssets:
     v01 = idx[:-1, 1:].reshape(-1)
     v10 = idx[1:, :-1].reshape(-1)
     v11 = idx[1:, 1:].reshape(-1)
-    # interleave the two triangles of each quad (quad-major coherence), then
-    # order quads in 2-mesh-row x 32-quad PATCHES (128 triangles = one
-    # rasterizer chunk): the sort-free 2-D band/column binning of
-    # ops/binning.py prunes by per-chunk screen extents, and patch-shaped
-    # chunks have tight extents in BOTH axes (row-major chunks span the full
-    # face width, so column tiles would prune nothing)
-    quads = np.stack(
+    # interleave the two triangles of each quad so the face list is
+    # spatially coherent in mesh-row-major order (the sort-free band binning
+    # of ops/binning.py relies on coherent orderings)
+    faces = np.stack(
         [np.stack([v00, v01, v11], axis=-1),
-         np.stack([v00, v11, v10], axis=-1)], axis=1)  # (nq, 2, 3)
-    qr, qc = rows - 1, cols - 1
-    quads = quads.reshape(qr, qc, 2, 3)
-    pr, pc = 2, 32  # patch = pr mesh rows x pc quad columns
-    order = []
-    for r0 in range(0, qr, pr):
-        for c0 in range(0, qc, pc):
-            block = quads[r0:r0 + pr, c0:c0 + pc]
-            order.append(block.reshape(-1, 3))
-    faces = np.ascontiguousarray(np.concatenate(order, axis=0),
-                                 dtype=np.int32)
+         np.stack([v00, v11, v10], axis=-1)], axis=1
+    ).reshape(-1, 3).astype(np.int32)
 
     # smooth skin-tone texture with low-frequency variation, RGB in [0,255]
     base = np.array([204.0, 164.0, 140.0], dtype=np.float32)
