@@ -33,7 +33,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
 
-    micro = int(os.environ.get("BENCH_MICROBATCH", "64"))
+    # 128 measured fastest (256 exceeds HBM: render intermediates)
+    micro = int(os.environ.get("BENCH_MICROBATCH", "128"))
     cfg = default_config(batch_size=batch)
     assets = synthetic_bfm(cfg, seed=0)
     pipe = make_pipeline(cfg, assets)
