@@ -145,8 +145,12 @@ def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch,
 
 
 def padded_rows(n_faces: int) -> int:
-    """Static row count of the padded setup/record arrays for n_faces."""
-    return ((n_faces + _CHUNK - 1) // _CHUNK + _WINDOW) * _CHUNK
+    """Static row count of the padded setup/record arrays for n_faces.
+    Rounded to 8-chunk groups (the select kernel works in 1024-row groups).
+    """
+    nct = (n_faces + _CHUNK - 1) // _CHUNK + _WINDOW
+    nct = (nct + 7) // 8 * 8
+    return nct * _CHUNK
 
 
 def is_available() -> bool:
@@ -191,7 +195,7 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
 
     # pad triangle axis to whole chunks plus a full DMA window of slack so
     # the fixed-size per-band fetch stays in bounds; records 10 -> 16
-    nct = (f + _CHUNK - 1) // _CHUNK + _WINDOW
+    nct = padded_rows(f) // _CHUNK
     pad_f = nct * _CHUNK - f
     coeffs = jnp.pad(setup.coeffs, ((0, 0), (0, pad_f),
                                     (0, _ROW_PAD - SETUP_WIDTH)))
