@@ -127,7 +127,7 @@ def run_mode(mode, vndc, faces, height=224, width=224, tile_h=8, reps=5):
             make_kernel(mode, tile_h, width_pad, band_px),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2, grid=(bsz, n_bands),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
                 scratch_shapes=[
                     pltpu.VMEM((_WINDOW, _ROW_PAD, _CHUNK), jnp.float32),
                     pltpu.SemaphoreType.DMA(())],

@@ -216,7 +216,7 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
             grid=(bsz, n_bands),
             in_specs=[
                 # full array stays in HBM; the kernel DMAs per-band slices
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((_WINDOW, _ROW_PAD, _CHUNK), jnp.float32),

@@ -111,7 +111,7 @@ def _select_fwd_impl(pos, records, band_lo, band_nc, *, tile_h: int):
                 pl.BlockSpec((1, 1, band_px, 1),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((_WINDOW, _FIELDS, _CHUNK), jnp.float32),
