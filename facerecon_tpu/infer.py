@@ -79,9 +79,10 @@ def restore_variables(pipe: Pipeline, ckpt: str | None, seed: int = 0):
     variables = init_params(pipe, jax.random.PRNGKey(seed))
     if ckpt:
         from facerecon_tpu.checkpoint import CheckpointManager
-        state = CheckpointManager(ckpt).restore(
-            template={"variables": variables, "step": 0})
-        variables = state["variables"]
+        # templateless restore: training checkpoints also carry opt_state,
+        # which inference does not know the structure of
+        state = CheckpointManager(ckpt).restore()
+        variables = jax.tree.map(jnp.asarray, state["variables"])
     return variables
 
 
