@@ -1,8 +1,12 @@
-"""Ablation harness for the Pallas rasterizer kernel (single-DMA-per-band
-structure) — isolates loop overhead / affine eval / reductions / argmin and
-tests an MXU-eval variant.
+"""Ablation harness for the grouped Pallas rasterizer (round-2 structure:
+8-chunk lane groups, single-DMA window, fused select). Isolates:
 
-Run on the TPU:  python benchmarks/kernel_ablation.py
+  loop_only  — fori + dynamic scratch read, no vector work (fixed cost)
+  eval_nored — affine eval + coverage, no cross-lane reductions
+  full       — the z-test phase as shipped
+  full_sel   — z-test + fused one-hot record select (the render hot path)
+
+Run on the TPU:  python benchmarks/kernel_ablation.py [BATCH=64] [TILEH=2]
 """
 import sys, os, time, functools
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -19,120 +23,223 @@ from facerecon_tpu.utils.bfm import synthetic_bfm
 from facerecon_tpu.ops.geometry import device_bfm, coeffs_to_geometry
 from facerecon_tpu.data.synthetic import sample_coeffs
 from facerecon_tpu.utils.coeffs import split_coeff
-from facerecon_tpu.ops.binning import bin_triangles, SETUP_WIDTH
+from facerecon_tpu.ops import rasterize_pallas as RP
 
-_CHUNK = 128
-_WINDOW = 64
-_ROW_PAD = 16
+_GLANES = RP._GLANES
+_WINDOW = RP._WINDOW
+_HEAD = RP._HEAD
+_MID = RP._MID
+_F = RP._ROW_PAD
 
 
-def make_kernel(mode, tile_h, width_pad, band_px):
-    def kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch, sem):
+def make_kernel(mode, tile_h, tile_w, band_px):
+    def kernel(glo_ref, gn_ref, setup_hbm, rec_hbm, pos_ref, prec_ref,
+               z_ref, scr_s, scr_r, sem):
         b = pl.program_id(0)
         t = pl.program_id(1)
-        lo_chunk = lo_ref[b, t]
-        n_chunks = nc_ref[b, t]
+        glo = glo_ref[b, t]
+        gn = gn_ref[b, t]
 
-        dma = pltpu.make_async_copy(
-            coeffs_hbm.at[b, pl.ds(lo_chunk, _WINDOW)], scratch, sem)
-        dma.start()
+        def dma(hbm, scr, lo, size, s):
+            return pltpu.make_async_copy(
+                hbm.at[b, pl.ds(glo + lo, size)],
+                scr.at[pl.ds(lo, size)], sem.at[s])
 
-        flat_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, _CHUNK), 0)
-        px = (flat_i % width_pad).astype(jnp.float32) + 0.5
-        py = ((flat_i // width_pad).astype(jnp.float32)
+        head = dma(setup_hbm, scr_s, 0, _HEAD, 0)
+        head.start()
+
+        @pl.when(gn > _HEAD)
+        def _():
+            dma(setup_hbm, scr_s, _HEAD, _MID, 1).start()
+
+        @pl.when(gn > _HEAD + _MID)
+        def _():
+            dma(setup_hbm, scr_s, _HEAD + _MID,
+                _WINDOW - _HEAD - _MID, 2).start()
+
+        if mode.startswith("sel"):
+            rhead = dma(rec_hbm, scr_r, 0, _HEAD, 3)
+            rhead.start()
+
+            @pl.when(gn > _HEAD)
+            def _():
+                dma(rec_hbm, scr_r, _HEAD, _MID, 4).start()
+
+            @pl.when(gn > _HEAD + _MID)
+            def _():
+                dma(rec_hbm, scr_r, _HEAD + _MID,
+                    _WINDOW - _HEAD - _MID, 5).start()
+
+        pix_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, 1), 0)
+        px = (pix_i % tile_w).astype(jnp.float32) + 0.5
+        py = ((pix_i // tile_w).astype(jnp.float32)
               + jnp.float32(t * tile_h) + 0.5)
         lane_f = jax.lax.broadcasted_iota(
-            jnp.int32, (band_px, _CHUNK), 1).astype(jnp.float32)
-        # (band_px, 3) pixel matrix for the MXU variant
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, 3), 0)
-        sel = jax.lax.broadcasted_iota(jnp.int32, (band_px, 3), 1)
-        pxc = (col_i % width_pad).astype(jnp.float32) + 0.5
-        pyc = ((col_i // width_pad).astype(jnp.float32)
-               + jnp.float32(t * tile_h) + 0.5)
-        pix = jnp.where(sel == 0, pxc, jnp.where(sel == 1, pyc, 1.0))
+            jnp.int32, (1, _GLANES), 1).astype(jnp.float32)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, _GLANES), 1)
 
-        dma.wait()
+        def eval_body(g, carry):
+            @pl.when(g == _HEAD)
+            def _():
+                dma(setup_hbm, scr_s, _HEAD, _MID, 1).wait()
 
-        def chunk_body(j, carry):
+            @pl.when(g == _HEAD + _MID)
+            def _():
+                dma(setup_hbm, scr_s, _HEAD + _MID,
+                    _WINDOW - _HEAD - _MID, 2).wait()
+
             zbest, posbest = carry
-            c = scratch[j]
+            c = scr_s[g]
             if mode == "loop_only":
-                zbest = zbest + c[0:1, 0:1]
-                return zbest, posbest
-            if mode in ("mxu", "mxu_full"):
-                def affine(sl):
-                    return jax.lax.dot_general(
-                        pix, c[sl], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                e0 = affine(slice(0, 3))
-                e1 = affine(slice(3, 6))
-                ez = affine(slice(6, 9))
-            else:
-                e0 = c[0:1] * px + c[1:2] * py + c[2:3]
-                e1 = c[3:4] * px + c[4:5] * py + c[5:6]
-                ez = c[6:7] * px + c[7:8] * py + c[8:9]
-            if mode == "eval_only":
-                zbest = jnp.minimum(zbest, jnp.min(
-                    e0 + e1 + ez, axis=1, keepdims=True))
-                return zbest, posbest
+                return zbest + c[0:1, 0:1], posbest
+            qx = px - c[9:10]
+            qy = py - c[10:11]
+            e0 = c[0:1] * qx + c[1:2] * qy + c[2:3]
+            e1 = c[3:4] * qx + c[4:5] * qy + c[5:6]
+            ez = c[6:7] * qx + c[7:8] * qy + c[8:9]
             cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
             zm = jnp.where(cov, ez, jnp.inf)
-            zmin = jnp.min(zm, axis=1, keepdims=True)
-            if mode in ("no_argmin", "mxu"):
-                zbest = jnp.minimum(zbest, zmin)
+            if mode == "eval_nored":
+                # fold to (band_px, 1) without a true cross-lane reduce
+                return zbest + zm[:, :1] + zm[:, -1:], posbest
+            if mode == "red_minonly":
+                zmin = jnp.min(zm, axis=1, keepdims=True)
+                return jnp.minimum(zbest, zmin), posbest
+            if mode == "red_argmin":
+                zmin = jnp.min(zm, axis=1, keepdims=True)
+                win = jnp.argmin(zm, axis=1).reshape(-1, 1)
+                better = zmin < zbest
+                return (jnp.where(better, zmin, zbest),
+                        jnp.where(better, (glo + g) * _GLANES + win,
+                                  posbest))
+            if mode == "red_fold8":
+                # two-stage: elementwise min-fold of the 8 chunk slices,
+                # then one narrow cross-lane reduce + disambiguation
+                zs = [zm[:, k * 128:(k + 1) * 128] for k in range(8)]
+                zf = zs[0]
+                for k in range(1, 8):
+                    zf = jnp.minimum(zf, zs[k])          # (band_px, 128)
+                zmin = jnp.min(zf, axis=1, keepdims=True)
+                lane128 = lane_f[:, :128]
+                posf = jnp.full_like(zf, 3e38)
+                for k in range(7, -1, -1):
+                    posf = jnp.where(zs[k] == zmin,
+                                     lane128 + jnp.float32(k * 128), posf)
+                win_f = jnp.min(posf, axis=1, keepdims=True)
+                better = zmin < zbest
+                zbest = jnp.where(better, zmin, zbest)
+                posbest = jnp.where(
+                    better,
+                    (glo + g) * _GLANES + win_f.astype(jnp.int32),
+                    posbest)
                 return zbest, posbest
+            zmin = jnp.min(zm, axis=1, keepdims=True)
             win_f = jnp.min(jnp.where(zm == zmin, lane_f, 3e38),
                             axis=1, keepdims=True)
             better = zmin < zbest
             zbest = jnp.where(better, zmin, zbest)
             posbest = jnp.where(
-                better, (lo_chunk + j) * _CHUNK + win_f.astype(jnp.int32),
+                better, (glo + g) * _GLANES + win_f.astype(jnp.int32),
                 posbest)
             return zbest, posbest
 
         init = (jnp.full((band_px, 1), jnp.inf, jnp.float32),
                 jnp.full((band_px, 1), -1, jnp.int32))
-        zbest, posbest = jax.lax.fori_loop(
-            0, jnp.minimum(n_chunks, _WINDOW), chunk_body, init)
+        gn0 = jnp.minimum(gn, _WINDOW)
+        head.wait()
+        zbest, posbest = jax.lax.fori_loop(0, gn0, eval_body, init)
         pos_ref[0, 0] = posbest
         z_ref[0, 0] = zbest
-    # distinct name per mode: identically-named kernels with identical
-    # signatures can collide in executable caches
-    kernel.__name__ = f"kernel_{mode}"
-    kernel.__qualname__ = f"kernel_{mode}"
+
+        if not mode.startswith("sel"):
+            prec_ref[0, 0] = jnp.zeros((band_px, _F), jnp.float32)
+            return
+
+        def split3(rec):
+            hi = rec.astype(jnp.bfloat16)
+            r1 = rec - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, mid, lo
+
+        def sel_body(g, acc):
+            @pl.when(g == _HEAD)
+            def _():
+                dma(rec_hbm, scr_r, _HEAD, _MID, 4).wait()
+
+            @pl.when(g == _HEAD + _MID)
+            def _():
+                dma(rec_hbm, scr_r, _HEAD + _MID,
+                    _WINDOW - _HEAD - _MID, 5).wait()
+
+            base = (glo + g) * _GLANES
+            rec = scr_r[g]
+            if mode == "sel_f32":
+                onehot = ((posbest - base) == lane_i).astype(jnp.float32)
+                return acc + jax.lax.dot_general(
+                    onehot, rec, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            if mode == "sel_1pass":
+                # precision floor probe: single bf16 pass (NOT exact)
+                onehot = ((posbest - base) == lane_i).astype(jnp.bfloat16)
+                return acc + jax.lax.dot_general(
+                    onehot, rec.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            if mode == "sel_chunk":
+                a = acc
+                for k in range(8):
+                    oh = ((posbest - (base + k * 128))
+                          == lane_i[:, :128]).astype(jnp.bfloat16)
+                    for part in split3(rec[:, k * 128:(k + 1) * 128]):
+                        a = a + jax.lax.dot_general(
+                            oh, part, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                return a
+            # sel_3split (shipped)
+            onehot = ((posbest - base) == lane_i).astype(jnp.bfloat16)
+            a = acc
+            for part in split3(rec):
+                a = a + jax.lax.dot_general(
+                    onehot, part, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return a
+
+        acc = jnp.zeros((band_px, _F), jnp.float32)
+        rhead.wait()
+        prec_ref[0, 0] = jax.lax.fori_loop(0, gn0, sel_body, acc)
+
+    kernel.__name__ = kernel.__qualname__ = f"kernel_{mode}"
     return kernel
 
 
-def run_mode(mode, vndc, faces, height=224, width=224, tile_h=8, reps=5):
+def run_mode(mode, vndc, faces, height, width, tile_h, reps=5):
     bsz = vndc.shape[0]
-    width_pad = ((width + 127) // 128) * 128
+    tile_w = ((width + 127) // 128) * 128
     n_bands = (height + tile_h - 1) // tile_h
-    band_px = tile_h * width_pad
+    band_px = tile_h * tile_w
 
     @jax.jit
     def fn(verts, faces):
-        setup = jax.vmap(lambda v: bin_triangles(
-            v, faces, height, width, tile_h))(verts)
-        f = setup.coeffs.shape[1]
-        lo_chunk = setup.band_lo // _CHUNK
-        n_chunks = (setup.band_hi + _CHUNK - 1) // _CHUNK - lo_chunk
-        n_chunks = jnp.maximum(n_chunks, 0).astype(jnp.int32)
-        nct = (f + _CHUNK - 1) // _CHUNK + _WINDOW
-        pad_f = nct * _CHUNK - f
-        coeffs = jnp.pad(setup.coeffs,
-                         ((0, 0), (0, pad_f), (0, _ROW_PAD - SETUP_WIDTH)))
-        coeffs = coeffs.at[:, f:, 2].set(-3e38).at[:, f:, 5].set(-3e38)
-        ck = jnp.swapaxes(coeffs.reshape(bsz, nct, _CHUNK, _ROW_PAD), 2, 3)
-        return pl.pallas_call(
-            make_kernel(mode, tile_h, width_pad, band_px),
+        glo, gn, coeffs = RP._band_windows(verts, faces, height, width,
+                                           tile_h, tile_w, False)
+        setup_g = RP._group_layout(coeffs)
+        out = pl.pallas_call(
+            make_kernel(mode, tile_h, tile_w, band_px),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2, grid=(bsz, n_bands),
-                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
                 scratch_shapes=[
-                    pltpu.VMEM((_WINDOW, _ROW_PAD, _CHUNK), jnp.float32),
-                    pltpu.SemaphoreType.DMA(())],
+                    pltpu.VMEM((_WINDOW, _F, _GLANES), jnp.float32),
+                    pltpu.VMEM((_WINDOW, _F, _GLANES), jnp.float32),
+                    pltpu.SemaphoreType.DMA((6,))],
                 out_specs=[
                     pl.BlockSpec((1, 1, band_px, 1),
+                                 lambda b, t, *_: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, band_px, _F),
                                  lambda b, t, *_: (b, t, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1, band_px, 1),
@@ -141,15 +248,19 @@ def run_mode(mode, vndc, faces, height=224, width=224, tile_h=8, reps=5):
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.int32),
-                jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32)],
-        )(lo_chunk.astype(jnp.int32), n_chunks, ck)
+                jax.ShapeDtypeStruct((bsz, n_bands, band_px, _F),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1),
+                                     jnp.float32)],
+        )(glo, gn, setup_g, setup_g)
+        return out[0], jnp.sum(out[0])
 
-    out = fn(vndc, faces)
-    jax.block_until_ready(out)
+    out, chk = fn(vndc, faces)
+    _ = float(chk)
     t0 = time.time()
     for _ in range(reps):
-        out = fn(vndc, faces)
-    jax.block_until_ready(out)
+        out, chk = fn(vndc, faces)
+    _ = float(chk)
     return (time.time() - t0) / reps, out
 
 
@@ -163,23 +274,19 @@ def main():
         return coeffs_to_geometry(split_coeff(cv, cfg), bfm, cfg).verts_ndc
 
     b = int(os.environ.get("BATCH", "64"))
+    tile_h = int(os.environ.get("TILEH", "2"))
+    h = w = int(os.environ.get("SIZE", "224"))
     vndc = geom_fn(
         jnp.asarray(sample_coeffs(np.random.default_rng(0), cfg, b)), bfm)
     jax.block_until_ready(vndc)
-    print("geom ready", flush=True)
+    print(f"geom ready (tile_h={tile_h} size={h})", flush=True)
     modes = os.environ.get(
-        "MODES", "loop_only,eval_only,no_argmin,mxu,full,mxu_full").split(",")
-    ref = None
+        "MODES", "loop_only,eval_nored,full,full_sel").split(",")
     for mode in modes:
         try:
-            dt, out = run_mode(mode, vndc, bfm.faces)
-            extra = ""
-            if mode == "full":
-                ref = np.asarray(out[0])
-            if mode == "mxu_full" and ref is not None:
-                extra = f"  (pos match full: {(np.asarray(out[0]) == ref).mean():.4f})"
-            print(f"{mode:10s}: {dt*1000:7.1f} ms/{b} -> {b/dt:7.0f} faces/s"
-                  + extra, flush=True)
+            dt, out = run_mode(mode, vndc, bfm.faces, h, w, tile_h)
+            print(f"{mode:10s}: {dt*1000:7.1f} ms/{b} -> {b/dt:7.0f} faces/s",
+                  flush=True)
         except Exception as e:
             print(f"{mode:10s}: FAILED {type(e).__name__}: {e}", flush=True)
 

@@ -38,6 +38,10 @@ class PrefetchIterator:
     def __next__(self):
         item = self._queue.get()
         if item is self._done:
+            # re-enqueue the sentinel: the producer enqueues it exactly once,
+            # so without this a second __next__ after exhaustion/error would
+            # block forever on an empty queue
+            self._queue.put(self._done)
             if self._err is not None:
                 raise self._err
             raise StopIteration

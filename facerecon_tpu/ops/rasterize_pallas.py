@@ -2,28 +2,39 @@
 
 Replaces the reference's C++/CUDA z-buffer op with a tile-based Mosaic/TPU
 kernel. Shares triangle setup + y-band binning with ops/rasterize_tiled.py
-(ops/binning.py) and fixes that path's weakness: all intermediates stay in
-VMEM and the per-band triangle count is a *dynamic* loop bound (empty bands
-cost nothing, no HBM round-trips for the (candidates x pixels) matrices).
+(ops/binning.py). Round-2 structure:
 
-Data layout (chosen for TPU tiling):
-  - per-band candidate triangles are a contiguous, 128-aligned slice of the
-    ymin-sorted setup array -> the kernel walks chunks of 128 triangles with
-    a non-minor dynamic index (no lane-dim dynamic slicing, no gathers);
-  - within a chunk: setup records are (16 fields x 128 triangles) so field
-    extraction is a sublane slice (cheap); the evaluation matrices put band
-    pixels on sublanes and triangles on lanes, so the affine edge functions
-    are outer-product FMAs on the VPU and the depth-test winner is a
-    cross-lane min;
-  - the kernel emits the winner's *sorted position* and depth only; original
-    triangle ids and barycentrics are resolved outside in jnp (XLA gathers),
-    keeping the kernel free of dynamic gathers. tri_id stays integer ->
-    non-differentiable, per the §9.6 contract (bary recomputed in render.py).
+  - GROUPED LANE EVAL: 8 triangle chunks are laid side-by-side on the lane
+    axis (8x128 = 1024 lanes per eval step), so the two cross-lane
+    reductions (depth argmin + winner lane) run once per 8 chunks instead of
+    once per chunk — reductions were ~60% of round-1 kernel time.
+  - FUSED RECORD SELECT: after the z-loop, the same kernel one-hot-matmuls
+    the per-pixel winner's 16-float render record out of the band's
+    candidate window (MXU does the gather). This removes the separate
+    select kernel: its duplicate window DMA, its per-band fixed cost, and
+    the HBM round-trip of the winner positions. Exactness: the one-hot is
+    exact in bf16, and the f32 records are split hi/mid/lo into three bf16
+    planes (8+8+8 mantissa bits = f32's 24) contracted in three
+    DEFAULT-precision MXU passes — each product is exact, each pixel row
+    has exactly one nonzero product, so the result matches an f32 gather to
+    ~1 ulp.
+  - MULTI-WINDOW COVERAGE: a band whose candidate span exceeds the VMEM
+    window loops further DMA windows instead of silently truncating
+    (round-1 clamped to the window — wrong pixels for spatially incoherent
+    face orderings). Any input is now correct; incoherent orderings only
+    degrade speed.
 
-Tie rule: equal depth resolves to the lower sorted position (within-chunk:
-lower lane; across chunks: strict < keeps the earlier chunk), matching
-ops/rasterize_tiled.py. See that module's docstring for the oracle-parity
-tolerance discussion.
+Data layout: per-band candidates are a contiguous group-aligned slice of
+the setup array in ORIGINAL face order (sort-free binning); within a group,
+records are (16 fields x 1024 triangles) so field extraction is a sublane
+slice and the affine edge functions are dual-broadcast FMAs on the VPU
+(pixels from a (band_px,1) column, triangle coefficients from a (1,1024)
+row — no materialized (band_px, lanes) iotas). tri_id stays integer ->
+non-differentiable per the §9.6 contract; the fused select output carries
+the differentiable path (custom VJP scatter-adds record cotangents).
+
+Tie rule: equal depth resolves to the lowest lane within a group (= lowest
+face id, original order) and strict < across groups — matching the oracle.
 """
 
 from __future__ import annotations
@@ -37,70 +48,98 @@ from jax.experimental.pallas import tpu as pltpu
 
 from facerecon_tpu.ops.binning import SETUP_WIDTH, bin_triangles_static
 
-_CHUNK = 128          # triangles per eval step (= lane count)
-_WINDOW = 128         # max chunks per band (1 MB scratch) — must cover the
-                      # widest band span (rotation widens static-order
-                      # spans; 64 truncated coverage at ~6% px)
-_HEAD = 16            # chunks in the eager head DMA: typical bands need ~13
-                      # chunks, so most bands transfer 128 KB instead of
-                      # 1 MB; the tail DMA is issued only when needed and
-                      # waited on only when the loop reaches it
-_ROW_PAD = 16         # setup record fields padded 10 -> 16 for tiling
-_UNROLL = 8           # chunks evaluated per loop iteration: each fori
-                      # iteration costs ~2.4us of fixed overhead on this
-                      # backend, which dominated at 1 chunk/iteration
+_CHUNK = 128            # triangles per chunk (= base lane count)
+_GRP = 8                # chunks fused side-by-side on the lane axis
+_GLANES = _GRP * _CHUNK  # 1024 lanes per eval step
+_WINDOW = 16            # groups per DMA window (= 128 chunks, 1 MB scratch)
+_HEAD = 2               # groups in the eager head DMA (covers typical bands)
+_MID = 2                # groups in the second eager DMA (gn in (2,4])
+_ROW_PAD = 16           # record fields padded 10/15 -> 16 for tiling
+_FIELDS = 16
 
 
-def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch,
-            sem, *, tile_h: int, tile_w: int, band_px: int):
-    """Per (image, band) program. The band's covering candidate window is
-    fetched HBM->VMEM in ONE DMA, then evaluated _UNROLL chunks per loop
-    iteration. Tail over-read is safe and correct: window chunks beyond the
-    live count are real padded/neighbouring records whose coverage test
-    rejects or legitimately wins, and the z-test is idempotent.
+def padded_rows(n_faces: int) -> int:
+    """Static row count of the padded setup/record arrays for n_faces:
+    whole groups plus a full DMA window of slack so fixed-size per-band
+    fetches stay in bounds for every window of every band."""
+    ngrp = (n_faces + _GLANES - 1) // _GLANES + _WINDOW
+    return ngrp * _GLANES
 
-    Scalars are flattened to (B, n_bands): a short trailing dim would pad to
-    128 lanes in SMEM (64x memory blowup)."""
+
+def _kernel(glo_ref, gn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
+            band_px: int, with_select: bool):
+    """Per (image, band) program.
+
+    Phase 1 (z-test): DMA the band's candidate window(s) of setup records
+    HBM->VMEM and keep a running (depth, position) winner per pixel.
+    Phase 2 (select, optional): one-hot-matmul each pixel's winner render
+    record out of the record window(s), which were DMA'd during phase 1.
+
+    Scalars are flattened to (B, n_bands): a short trailing dim would pad
+    to 128 lanes in SMEM (64x memory blowup).
+    """
+    if with_select:
+        rec_hbm, pos_ref, prec_ref, z_ref, scr_s, scr_r, sem = rest
+    else:
+        pos_ref, z_ref, scr_s, sem = rest
     b = pl.program_id(0)
     t = pl.program_id(1)
-    lo_chunk = lo_ref[b, t]        # DMA window base
-    n_chunks = nc_ref[b, t]        # live chunk count in the window
+    glo = glo_ref[b, t]          # first candidate group (global index)
+    gn = gn_ref[b, t]            # live group count (may exceed _WINDOW)
 
-    head_dma = pltpu.make_async_copy(
-        coeffs_hbm.at[b, pl.ds(lo_chunk, _HEAD)],
-        scratch.at[pl.ds(0, _HEAD)], sem.at[0])
-    head_dma.start()
-    has_tail = n_chunks > _HEAD
-
-    def tail_dma():
+    def dma(hbm, scr, wbase, lo, size, s):
         return pltpu.make_async_copy(
-            coeffs_hbm.at[b, pl.ds(lo_chunk + _HEAD, _WINDOW - _HEAD)],
-            scratch.at[pl.ds(_HEAD, _WINDOW - _HEAD)], sem.at[1])
+            hbm.at[b, pl.ds(glo + wbase + lo, size)],
+            scr.at[pl.ds(lo, size)], sem.at[s])
+
+    # window-0 transfers, sized to the common case: head (2 groups) always,
+    # mid (2 more) when the band needs them, tail (rest of the window) only
+    # for wide spans — typical bands move 128-256 KB, not the whole 1 MB.
+    head = dma(setup_hbm, scr_s, 0, 0, _HEAD, 0)
+    head.start()
+    has_mid = gn > _HEAD
+    has_tail = gn > _HEAD + _MID
+
+    @pl.when(has_mid)
+    def _():
+        dma(setup_hbm, scr_s, 0, _HEAD, _MID, 1).start()
 
     @pl.when(has_tail)
     def _():
-        tail_dma().start()
+        dma(setup_hbm, scr_s, 0, _HEAD + _MID,
+            _WINDOW - _HEAD - _MID, 2).start()
 
-    # pixel coordinates pre-broadcast to (band_px, CHUNK): the affine eval
-    # stays on the VPU — an MXU (band_px,3)@(3,CHUNK) form was tried and is
-    # 2x SLOWER because K=3 pads to the 128-deep systolic array (16x waste)
-    flat_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, _CHUNK), 0)
-    px = (flat_i % tile_w).astype(jnp.float32) + 0.5
-    py = ((flat_i // tile_w).astype(jnp.float32)
-          + jnp.float32(t * tile_h) + 0.5)
+    if with_select:
+        # record window DMAs overlap phase-1 compute
+        rhead = dma(rec_hbm, scr_r, 0, 0, _HEAD, 3)
+        rhead.start()
 
-    # f32 lane indices: cross-lane min is native for f32 but emulated (and
-    # ~10x slower) for int32; lane values (<128) are exact in f32
+        @pl.when(has_mid)
+        def _():
+            dma(rec_hbm, scr_r, 0, _HEAD, _MID, 4).start()
+
+        @pl.when(has_tail)
+        def _():
+            dma(rec_hbm, scr_r, 0, _HEAD + _MID,
+                _WINDOW - _HEAD - _MID, 5).start()
+
+    # pixel coordinates as a (band_px, 1) column — broadcast across lanes
+    # inside the affine ops (materializing (band_px, GLANES) iotas costs
+    # ~6 MB of vregs/VMEM and spills)
+    pix_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, 1), 0)
+    px = (pix_i % tile_w).astype(jnp.float32) + 0.5
+    py = (pix_i // tile_w).astype(jnp.float32) + jnp.float32(t * tile_h) + 0.5
+    # f32 lane indices (1, GLANES): cross-lane min is native for f32 but
+    # emulated (~10x slower) for int32; lane values (<1024) are exact in f32
     lane_f = jax.lax.broadcasted_iota(
-        jnp.int32, (band_px, _CHUNK), 1).astype(jnp.float32)
+        jnp.int32, (1, _GLANES), 1).astype(jnp.float32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, _GLANES), 1)
 
-    head_dma.wait()
-
-    def eval_chunk(k, carry):
-        """One 128-triangle chunk at window-relative index k (traced)."""
+    def eval_group(g, carry, wbase):
+        """One 1024-triangle group at window-relative index g (traced)."""
         zbest, posbest = carry
-        c = scratch[k]                            # (16 fields, CHUNK tris)
-        # anchored outer-product affine eval -> (band_px, CHUNK)
+        c = scr_s[g]                              # (16 fields, GLANES tris)
+        # anchored dual-broadcast affine eval -> (band_px, GLANES)
         qx = px - c[9:10]
         qy = py - c[10:11]
         e0 = c[0:1] * qx + c[1:2] * qy + c[2:3]
@@ -108,49 +147,101 @@ def _kernel(lo_ref, nc_ref, coeffs_hbm, pos_ref, z_ref, scratch,
         ez = c[6:7] * qx + c[7:8] * qy + c[8:9]
         cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
         zm = jnp.where(cov, ez, jnp.inf)
-
-        zmin = jnp.min(zm, axis=1, keepdims=True)                # (band_px,1)
+        zmin = jnp.min(zm, axis=1, keepdims=True)            # (band_px, 1)
         win_f = jnp.min(jnp.where(zm == zmin, lane_f, 3e38),
                         axis=1, keepdims=True)
         better = zmin < zbest
         zbest = jnp.where(better, zmin, zbest)
-        win = win_f.astype(jnp.int32)                            # (band_px,1)
         posbest = jnp.where(
-            better, (lo_chunk + k) * _CHUNK + win, posbest)
+            better,
+            (glo + wbase + g) * _GLANES + win_f.astype(jnp.int32),
+            posbest)
         return zbest, posbest
-
-    def group_body(g, carry):
-        base = g * _UNROLL
-        for u in range(_UNROLL):
-            # clamp inside the window; duplicate evaluation is idempotent
-            carry = eval_chunk(jnp.minimum(base + u, _WINDOW - 1), carry)
-        return carry
 
     init = (jnp.full((band_px, 1), jnp.inf, jnp.float32),
             jnp.full((band_px, 1), -1, jnp.int32))
-    nc = jnp.minimum(n_chunks, _WINDOW)
-    # head chunks overlap with the (rare) tail transfer
-    n_head_groups = jnp.minimum(nc, _HEAD) // _UNROLL  # _HEAD % _UNROLL == 0
-    carry = jax.lax.fori_loop(0, n_head_groups, group_body, init)
+    gn0 = jnp.minimum(gn, _WINDOW)               # live groups in window 0
 
-    @pl.when(has_tail)
-    def _():
-        tail_dma().wait()
+    # ONE loop with in-body waits at the head/mid/tail DMA boundaries:
+    # separate fori constructs per DMA segment cost ~µs each in fixed
+    # overhead, which dominates at 2-3 live groups per band
+    def eval_body(g, carry):
+        @pl.when(g == _HEAD)
+        def _():
+            dma(setup_hbm, scr_s, 0, _HEAD, _MID, 1).wait()
 
-    n_groups = (nc + _UNROLL - 1) // _UNROLL
-    zbest, posbest = jax.lax.fori_loop(
-        n_head_groups, n_groups, group_body, carry)
+        @pl.when(g == _HEAD + _MID)
+        def _():
+            dma(setup_hbm, scr_s, 0, _HEAD + _MID,
+                _WINDOW - _HEAD - _MID, 2).wait()
+
+        return eval_group(g, carry, 0)
+
+    head.wait()
+    carry = jax.lax.fori_loop(0, gn0, eval_body, init)
+
+    # overflow windows (rare: spatially incoherent face order / extreme
+    # rotation). Sequential DMA + eval; correctness over speed.
+    n_win = (gn + _WINDOW - 1) // _WINDOW
+
+    def win_body(w, carry):
+        wbase = w * _WINDOW
+        d = dma(setup_hbm, scr_s, wbase, 0, _WINDOW, 0)
+        d.start()
+        d.wait()
+        nw = jnp.minimum(gn - wbase, _WINDOW)
+        return jax.lax.fori_loop(
+            0, nw, lambda g, c: eval_group(g, c, wbase), carry)
+
+    zbest, posbest = jax.lax.fori_loop(1, n_win, win_body, carry)
     pos_ref[0, 0] = posbest
     z_ref[0, 0] = zbest
 
+    if not with_select:
+        return
 
-def padded_rows(n_faces: int) -> int:
-    """Static row count of the padded setup/record arrays for n_faces.
-    Rounded to 8-chunk groups (the select kernel works in 1024-row groups).
-    """
-    nct = (n_faces + _CHUNK - 1) // _CHUNK + _WINDOW
-    nct = (nct + 7) // 8 * 8
-    return nct * _CHUNK
+    # ---- phase 2: one-hot MXU select of the winner's render record ----
+    def sel_group(g, acc, wbase):
+        base = (glo + wbase + g) * _GLANES
+        onehot = ((posbest - base) == lane_i).astype(jnp.bfloat16)
+        rec = scr_r[g]                            # (16 fields, GLANES)
+        hi = rec.astype(jnp.bfloat16)
+        r1 = rec - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        for part in (hi, mid, lo):
+            acc = acc + jax.lax.dot_general(
+                onehot, part, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc
+
+    def sel_body(g, acc):
+        @pl.when(g == _HEAD)
+        def _():
+            dma(rec_hbm, scr_r, 0, _HEAD, _MID, 4).wait()
+
+        @pl.when(g == _HEAD + _MID)
+        def _():
+            dma(rec_hbm, scr_r, 0, _HEAD + _MID,
+                _WINDOW - _HEAD - _MID, 5).wait()
+
+        return sel_group(g, acc, 0)
+
+    acc = jnp.zeros((band_px, _FIELDS), jnp.float32)
+    rhead.wait()
+    acc = jax.lax.fori_loop(0, gn0, sel_body, acc)
+
+    def sel_win_body(w, acc):
+        wbase = w * _WINDOW
+        d = dma(rec_hbm, scr_r, wbase, 0, _WINDOW, 3)
+        d.start()
+        d.wait()
+        nw = jnp.minimum(gn - wbase, _WINDOW)
+        return jax.lax.fori_loop(
+            0, nw, lambda g, a: sel_group(g, a, wbase), acc)
+
+    acc = jax.lax.fori_loop(1, n_win, sel_win_body, acc)
+    prec_ref[0, 0] = acc
 
 
 def is_available() -> bool:
@@ -164,63 +255,75 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("height", "width", "tile_h", "cull_backfaces"))
-def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
-                        tile_h: int = 8, cull_backfaces: bool = False):
-    """Batched hard-visibility pass.
+def _group_layout(arr_flat):
+    """(B, rows, 16) -> (B, n_groups, 16 fields, GLANES) — fields on
+    sublanes, triangles on lanes, 8 chunks side-by-side per group."""
+    bsz, rows, _ = arr_flat.shape
+    ngrp = rows // _GLANES
+    a = arr_flat.reshape(bsz, ngrp, _GRP, _CHUNK, _ROW_PAD)
+    return a.transpose(0, 1, 4, 2, 3).reshape(bsz, ngrp, _ROW_PAD, _GLANES)
 
-    verts_ndc (B,N,3), faces (F,3) -> (tri_id (B,H,W) i32 winning face index
-    in ORIGINAL face order (-1 = background), records (B,F16,16) setup
-    records in face order, zbuf (B,H,W) f32).
-    """
+
+def _band_windows(verts_ndc, faces, height, width, tile_h, tile_w,
+                  cull_backfaces):
+    """Run the sort-free static binning and convert its chunk-level windows
+    to group-aligned (glo, gn) plus the padded flat setup array."""
     bsz = verts_ndc.shape[0]
-    tile_w = ((width + 127) // 128) * 128   # one full-width column tile
-    n_bands = (height + tile_h - 1) // tile_h
-    band_px = tile_h * tile_w
-
-    # sort-free static binning: faces stay in original order (coherent
-    # orderings assumed — see ops/binning.py bin_triangles_static). One
-    # column tile: per-column windows prune nothing (every mesh row spans
-    # both columns) and per-run loops pay the fixed per-iteration cost more
-    # than they save.
     setup = jax.vmap(
         lambda v: bin_triangles_static(v, faces, height, width, tile_h,
                                        _CHUNK, cull_backfaces,
                                        tile_w=tile_w))(verts_ndc)
     f = setup.coeffs.shape[1]
-    lo_chunk = setup.band_lo[:, :, 0]       # (B, n_bands)
+    lo_chunk = setup.band_lo[:, :, 0]            # (B, n_bands)
     n_chunks = setup.n_chunks[:, :, 0]
+    glo = lo_chunk // _GRP
+    ghi = (lo_chunk + n_chunks + _GRP - 1) // _GRP
+    gn = jnp.where(n_chunks > 0, ghi - glo, 0).astype(jnp.int32)
+    glo = jnp.where(n_chunks > 0, glo, 0).astype(jnp.int32)
 
-    # pad triangle axis to whole chunks plus a full DMA window of slack so
-    # the fixed-size per-band fetch stays in bounds; records 10 -> 16
-    nct = padded_rows(f) // _CHUNK
-    pad_f = nct * _CHUNK - f
-    coeffs = jnp.pad(setup.coeffs, ((0, 0), (0, pad_f),
+    rows = padded_rows(f)
+    coeffs = jnp.pad(setup.coeffs, ((0, 0), (0, rows - f),
                                     (0, _ROW_PAD - SETUP_WIDTH)))
     # dead padding must never cover: wc0 = wc1 = -inf
-    if pad_f:
+    if rows - f:
         coeffs = coeffs.at[:, f:, 2].set(-3e38)
         coeffs = coeffs.at[:, f:, 5].set(-3e38)
-    flat_records = coeffs                                # (B, F16, 16)
-    # kernel layout: fields on sublanes, triangles on lanes
-    coeffs_k = coeffs.reshape(bsz, nct, _CHUNK, _ROW_PAD)
-    coeffs_k = jnp.swapaxes(coeffs_k, 2, 3)              # (B, nct, 16, CHUNK)
+    return glo, gn, coeffs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "cull_backfaces"))
+def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
+                        tile_h: int = 2, cull_backfaces: bool = False):
+    """Batched hard-visibility pass.
+
+    verts_ndc (B,N,3), faces (F,3) -> (tri_id (B,H,W) i32 winning face index
+    in ORIGINAL face order (-1 = background), setup records (B,rows,16) in
+    face order, zbuf (B,H,W) f32, (glo, gn) group windows).
+    """
+    bsz = verts_ndc.shape[0]
+    tile_w = ((width + 127) // 128) * 128
+    n_bands = (height + tile_h - 1) // tile_h
+    band_px = tile_h * tile_w
+
+    glo, gn, coeffs = _band_windows(verts_ndc, faces, height, width,
+                                    tile_h, tile_w, cull_backfaces)
+    setup_g = _group_layout(coeffs)
 
     pos, zbuf = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
-                          band_px=band_px),
+                          band_px=band_px, with_select=False),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,            # window lo, chunk counts
+            num_scalar_prefetch=2,              # group window lo, counts
             grid=(bsz, n_bands),
             in_specs=[
                 # full array stays in HBM; the kernel DMAs per-band slices
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
-                pltpu.VMEM((_WINDOW, _ROW_PAD, _CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((_WINDOW, _ROW_PAD, _GLANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, band_px, 1),
@@ -236,23 +339,126 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
             jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(lo_chunk.astype(jnp.int32), n_chunks.astype(jnp.int32), coeffs_k)
+    )(glo, gn, setup_g)
 
     pos = pos.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
     zbuf = zbuf.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
-    # positions beyond the live face count are dead padding (can win only
-    # never — but guard anyway); pos IS the face id in original order
+    # positions beyond the live face count are dead padding (can never win
+    # — but guard anyway); pos IS the face id in original order
     pos = jnp.where(pos < faces.shape[0], pos, -1)
-    # band windows + padded row count: consumers (ops/select_pallas.py) use
-    # the same chunk indexing to fetch per-pixel records MXU-side
-    return pos, flat_records, zbuf, (lo_chunk, n_chunks, nct)
+    return pos, coeffs, zbuf, (glo, gn)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "cull_backfaces"))
+def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
+                tile_h: int, cull_backfaces: bool = False):
+    """Forward of the fused raster+select: records (B,rows,16) differentiable
+    render records in face order (rows = padded_rows(F)), verts_ndc
+    non-differentiable positions -> (tri_id (B,H,W), px_rec (B,H,W,16),
+    zbuf (B,H,W))."""
+    bsz = verts_ndc.shape[0]
+    tile_w = ((width + 127) // 128) * 128
+    n_bands = (height + tile_h - 1) // tile_h
+    band_px = tile_h * tile_w
+
+    glo, gn, coeffs = _band_windows(verts_ndc, faces, height, width,
+                                    tile_h, tile_w, cull_backfaces)
+    setup_g = _group_layout(coeffs)
+    rec_g = _group_layout(records)
+
+    pos, prec, zbuf = pl.pallas_call(
+        functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
+                          band_px=band_px, with_select=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bsz, n_bands),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # setup, HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # records, HBM
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_WINDOW, _ROW_PAD, _GLANES), jnp.float32),
+                pltpu.VMEM((_WINDOW, _ROW_PAD, _GLANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((6,)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, band_px, 1),
+                             lambda b, t, *_: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, band_px, _FIELDS),
+                             lambda b, t, *_: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, band_px, 1),
+                             lambda b, t, *_: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, n_bands, band_px, _FIELDS),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(glo, gn, setup_g, rec_g)
+
+    pos = pos.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
+    prec = prec.reshape(bsz, n_bands * tile_h, tile_w, _FIELDS)
+    prec = prec[:, :height, :width]
+    zbuf = zbuf.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
+    hit = pos < faces.shape[0]
+    pos = jnp.where(hit, pos, -1)
+    prec = jnp.where(hit[..., None], prec, 0.0)
+    return pos, prec, zbuf
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def rasterize_select(records, verts_ndc, faces, height: int, width: int,
+                     tile_h: int, cull_backfaces: bool = False):
+    """Fused hard-visibility + per-pixel record select (the TPU render hot
+    path). Differentiable in `records` only (SURVEY.md §9.6: tri_id frozen;
+    dL/d record flows back by scatter-add over winner positions, which XLA
+    turns into the same segment-sum the reference family's hand-written
+    backward uses). verts_ndc gradients flow through the *recomputed*
+    barycentrics in ops/render.py, not through this op."""
+    return _fused_impl(records, jax.lax.stop_gradient(verts_ndc), faces,
+                       height=height, width=width, tile_h=tile_h,
+                       cull_backfaces=cull_backfaces)
+
+
+def _rs_fwd(records, verts_ndc, faces, height, width, tile_h,
+            cull_backfaces):
+    out = _fused_impl(records, jax.lax.stop_gradient(verts_ndc), faces,
+                      height=height, width=width, tile_h=tile_h,
+                      cull_backfaces=cull_backfaces)
+    return out, (out[0], records.shape)
+
+
+def _rs_bwd(height, width, tile_h, cull_backfaces, res, g):
+    pos, rec_shape = res
+    _, g_rec, _ = g
+    bsz, rows, _ = rec_shape
+    flat_pos = jnp.maximum(pos.reshape(bsz, -1), 0)
+    valid = (pos.reshape(bsz, -1) >= 0)[..., None]
+    flat_g = jnp.where(valid, g_rec.reshape(bsz, -1, _FIELDS), 0.0)
+    # scatter-add cotangents to record rows (training path only)
+    offs = jnp.arange(bsz)[:, None] * rows
+    seg = (flat_pos + offs).reshape(-1)
+    grad = jax.ops.segment_sum(
+        flat_g.reshape(-1, _FIELDS), seg, num_segments=bsz * rows)
+    return grad.reshape(rec_shape), None, None
+
+
+rasterize_select.defvjp(_rs_fwd, _rs_bwd)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "cfg", "tile_h", "cull_backfaces"))
 def rasterize_batch(verts_ndc, faces, *, height: int, width: int, cfg=None,
-                    tile_h: int = 8, cull_backfaces: bool = False):
+                    tile_h: int = 2, cull_backfaces: bool = False):
     """Full SURVEY.md §9.5 contract: (tri_id, bary, zbuf), batched.
 
     Fully jitted — eager dispatch over the axon tunnel costs seconds per op.
@@ -281,7 +487,7 @@ def rasterize_batch(verts_ndc, faces, *, height: int, width: int, cfg=None,
 
 
 def rasterize(verts_ndc, faces, *, height: int, width: int,
-              tile_h: int = 8, cull_backfaces: bool = False):
+              tile_h: int = 2, cull_backfaces: bool = False):
     """Single-mesh wrapper matching rasterize_jnp/rasterize_tiled."""
     tid, bary, z = rasterize_batch(
         verts_ndc[None], faces, height=height, width=width, tile_h=tile_h,

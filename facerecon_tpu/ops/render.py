@@ -174,18 +174,15 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
     radiance = sh_ops.illuminate(geom.texture, geom.normals, gamma)
     from facerecon_tpu.ops import rasterize_pallas, rasterize_tiled
     if rasterize_pallas.is_available():
-        # TPU: Pallas hard-visibility + MXU one-hot record select (dynamic
-        # per-pixel gathers are the slowest stage on TPU)
-        from facerecon_tpu.ops import select_pallas
-        vndc_ng = jax.lax.stop_gradient(geom.verts_ndc)
-        tri_id, _, _, (band_lo, band_nc, _) = \
-            rasterize_pallas.rasterize_positions(
-                vndc_ng, bfm.faces, height=h, width=w, tile_h=cfg.tile_h)
+        # TPU: fused Pallas hard-visibility + in-kernel MXU one-hot record
+        # select (dynamic per-pixel gathers are the slowest stage on TPU;
+        # fusing the select into the raster kernel shares the candidate
+        # window DMA and kills the second kernel's per-band fixed cost)
         records = _pack_render_records(
             geom.verts_ndc, radiance, bfm.faces, h, w,
             rasterize_pallas.padded_rows(bfm.faces.shape[0]))
-        px_rec = select_pallas.select_rows(tri_id, records, band_lo,
-                                           band_nc, cfg.tile_h)
+        tri_id, px_rec, _ = rasterize_pallas.rasterize_select(
+            records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
         color, bary = _shade_from_records(tri_id, px_rec, h, w)
     else:
         tri_id = rasterize_tiled.rasterize_batch(

@@ -144,8 +144,9 @@ def run(args) -> dict:
             first_loss = float(parts["total"])
         if (i + 1) % args.log_every == 0 or i == args.steps - 1:
             last_loss = float(parts["total"])
-            rate = cfg.batch_size * (i if i else 1) / max(time.time() - t0,
-                                                          1e-9)
+            # t0 is reset after step 0 (compile excluded) -> i timed steps
+            rate = (cfg.batch_size * i / max(time.time() - t0, 1e-9)
+                    if i > 0 else float("nan"))
             print(json.dumps({
                 "step": i + 1,
                 **{k: round(float(v), 5) for k, v in parts.items()},

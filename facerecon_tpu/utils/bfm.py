@@ -62,11 +62,15 @@ def load_npz(path: str) -> BFMAssets:
 
 
 def vertex_face_adjacency(faces: np.ndarray, n_vertices: int,
-                          deg_cap: int = 12) -> np.ndarray:
+                          deg_cap: int | None = None) -> np.ndarray:
     """(N, deg_max) face ids adjacent to each vertex; padded with F.
 
     Converts the per-frame normals scatter (segment_sum, slow on TPU) into a
-    fixed gather: vertex normal = sum of adjacent face normals.
+    fixed gather: vertex normal = sum of adjacent face normals. deg_max is
+    the true maximum vertex degree by default so the gather sums ALL adjacent
+    faces (matching the oracle's segment_sum exactly); pass deg_cap only to
+    bound gather cost on meshes with a pathological-degree vertex, in which
+    case truncation is reported loudly rather than silently.
     """
     f = faces.shape[0]
     v = faces.reshape(-1).astype(np.int64)        # (3F,)
@@ -74,7 +78,15 @@ def vertex_face_adjacency(faces: np.ndarray, n_vertices: int,
     order = np.argsort(v, kind="stable")
     v_s, f_s = v[order], f_ids[order]
     counts = np.bincount(v_s, minlength=n_vertices)
-    deg_max = int(min(max(int(counts.max()), 1), deg_cap))
+    deg_true = max(int(counts.max()), 1)
+    deg_max = deg_true if deg_cap is None else min(deg_true, int(deg_cap))
+    if deg_max < deg_true:
+        import warnings
+        warnings.warn(
+            f"vertex_face_adjacency: deg_cap={deg_cap} truncates "
+            f"{int((counts > deg_max).sum())} vertices (max degree "
+            f"{deg_true}); vertex normals will diverge from the oracle "
+            "at those vertices", stacklevel=2)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     rank = np.arange(3 * f) - starts[v_s]
     keep = rank < deg_max
