@@ -45,6 +45,52 @@ def make_kernel(mode, tile_h, tile_w, band_px):
                 hbm.at[b, pl.ds(glo + lo, size)],
                 scr.at[pl.ds(lo, size)], sem.at[s])
 
+        if mode == "empty":
+            pos_ref[0, 0] = jnp.full((band_px, 1), gn, jnp.int32)
+            z_ref[0, 0] = jnp.zeros((band_px, 1), jnp.float32)
+            prec_ref[0, 0] = jnp.zeros((band_px, _F), jnp.float32)
+            return
+        if mode == "noloop_dma":
+            dma(setup_hbm, scr_s, 0, _HEAD, 0).start()
+
+            @pl.when(gn > _HEAD)
+            def _():
+                dma(setup_hbm, scr_s, _HEAD, _MID, 1).start()
+
+            @pl.when(gn > _HEAD + _MID)
+            def _():
+                dma(setup_hbm, scr_s, _HEAD + _MID,
+                    _WINDOW - _HEAD - _MID, 2).start()
+
+            dma(setup_hbm, scr_s, 0, _HEAD, 0).wait()
+
+            @pl.when(gn > _HEAD)
+            def _():
+                dma(setup_hbm, scr_s, _HEAD, _MID, 1).wait()
+
+            @pl.when(gn > _HEAD + _MID)
+            def _():
+                dma(setup_hbm, scr_s, _HEAD + _MID,
+                    _WINDOW - _HEAD - _MID, 2).wait()
+
+            pos_ref[0, 0] = jnp.full((band_px, 1), gn, jnp.int32)
+            z_ref[0, 0] = scr_s[0, 0:1, 0:1] + jnp.zeros(
+                (band_px, 1), jnp.float32)
+            prec_ref[0, 0] = jnp.zeros((band_px, _F), jnp.float32)
+            return
+        if mode == "loop_nodma":
+            def body_nd(g, carry):
+                z, p = carry
+                return z + scr_s[g][0:1, 0:1], p
+
+            init_nd = (jnp.zeros((band_px, 1), jnp.float32),
+                       jnp.full((band_px, 1), -1, jnp.int32))
+            z, p = jax.lax.fori_loop(
+                0, jnp.minimum(gn, _WINDOW), body_nd, init_nd)
+            pos_ref[0, 0] = p
+            z_ref[0, 0] = z
+            prec_ref[0, 0] = jnp.zeros((band_px, _F), jnp.float32)
+            return
         head = dma(setup_hbm, scr_s, 0, _HEAD, 0)
         head.start()
 
@@ -148,6 +194,14 @@ def make_kernel(mode, tile_h, tile_w, band_px):
         gn0 = jnp.minimum(gn, _WINDOW)
         head.wait()
         zbest, posbest = jax.lax.fori_loop(0, gn0, eval_body, init)
+        if mode == "full_scalred":
+            # probe: per-band scalar min/max of winner positions (the
+            # winner-chunk-range trick needs these as loop bounds)
+            pv = jnp.where(posbest >= 0, posbest, jnp.int32(2**30))
+            cmin = jnp.min(pv) // 128
+            pv2 = jnp.where(posbest >= 0, posbest, -1)
+            cmax = jnp.max(pv2) // 128
+            zbest = zbest + (cmax - cmin).astype(jnp.float32) * 1e-30
         pos_ref[0, 0] = posbest
         z_ref[0, 0] = zbest
 
@@ -187,6 +241,15 @@ def make_kernel(mode, tile_h, tile_w, band_px):
                     onehot, rec.astype(jnp.bfloat16),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
+            if mode == "sel_1pass48":
+                # N-independence probe: one pass, 48-wide stationary
+                onehot = ((posbest - base) == lane_i).astype(jnp.bfloat16)
+                rec48 = jnp.concatenate(
+                    [rec, rec, rec], axis=0).astype(jnp.bfloat16)
+                out48 = jax.lax.dot_general(
+                    onehot, rec48, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return acc + out48[:, :16] + out48[:, 16:32] * 1e-30
             if mode == "sel_chunk":
                 a = acc
                 for k in range(8):

@@ -9,15 +9,16 @@ kernel. Shares triangle setup + y-band binning with ops/rasterize_tiled.py
     reductions (depth argmin + winner lane) run once per 8 chunks instead of
     once per chunk — reductions were ~60% of round-1 kernel time.
   - FUSED RECORD SELECT: after the z-loop, the same kernel one-hot-matmuls
-    the per-pixel winner's 16-float render record out of the band's
-    candidate window (MXU does the gather). This removes the separate
-    select kernel: its duplicate window DMA, its per-band fixed cost, and
-    the HBM round-trip of the winner positions. Exactness: the one-hot is
-    exact in bf16, and the f32 records are split hi/mid/lo into three bf16
-    planes (8+8+8 mantissa bits = f32's 24) contracted in three
-    DEFAULT-precision MXU passes — each product is exact, each pixel row
-    has exactly one nonzero product, so the result matches an f32 gather to
-    ~1 ulp.
+    the per-pixel winner's render record out of the band's candidate window
+    (MXU does the gather). This removes the separate select kernel: its
+    duplicate window DMA, its per-band fixed cost, and the HBM round-trip
+    of the winner positions. The dot's cost is the stationary-weight load
+    (proportional to passes x K and INDEPENDENT of the record width), so
+    records are PRE-SPLIT into exactly-bf16-representable field parts
+    (_split_records: hi/lo pairs for 16-bit fields, 3 parts for the
+    pixel-coordinate anchors) and ONE bf16 pass reads all 48 fields with
+    no rounding: each product is an exact bf16 value, each pixel row has
+    exactly one nonzero product.
   - MULTI-WINDOW COVERAGE: a band whose candidate span exceeds the VMEM
     window loops further DMA windows instead of silently truncating
     (round-1 clamped to the window — wrong pixels for spatially incoherent
@@ -54,8 +55,9 @@ _GLANES = _GRP * _CHUNK  # 1024 lanes per eval step
 _WINDOW = 16            # groups per DMA window (= 128 chunks, 1 MB scratch)
 _HEAD = 2               # groups in the eager head DMA (covers typical bands)
 _MID = 2                # groups in the second eager DMA (gn in (2,4])
-_ROW_PAD = 16           # record fields padded 10/15 -> 16 for tiling
-_FIELDS = 16
+_ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
+_FIELDS = 16            # caller-facing render-attribute record width
+_RFIELDS = 48           # pre-split select record width (see _split_records)
 
 
 def padded_rows(n_faces: int) -> int:
@@ -201,44 +203,54 @@ def _kernel(glo_ref, gn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
         return
 
     # ---- phase 2: one-hot MXU select of the winner's render record ----
+    # The dot's cost is the stationary-weight load, proportional to
+    # passes x K — the records are PRE-SPLIT into exactly-bf16-representable
+    # field parts (hi/lo pairs; 3 parts for the pixel-scale anchors), so a
+    # SINGLE bf16 pass reads every field exactly (measured: one pass of
+    # N=48 costs the same as one pass of N=16; three passes cost 3x).
+    # Restricting the loop to the winner group range costs nothing but
+    # prunes nothing on single-layer surfaces — kept for the pathological
+    # multi-layer case.
+    pv = jnp.where(posbest >= 0, posbest, jnp.int32(2 ** 30))
+    g_min = jnp.min(pv) // _GLANES - glo            # window-relative
+    g_max = jnp.max(jnp.where(posbest >= 0, posbest, -1)) // _GLANES - glo
+
     def sel_group(g, acc, wbase):
         base = (glo + wbase + g) * _GLANES
         onehot = ((posbest - base) == lane_i).astype(jnp.bfloat16)
-        rec = scr_r[g]                            # (16 fields, GLANES)
-        hi = rec.astype(jnp.bfloat16)
-        r1 = rec - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        for part in (hi, mid, lo):
-            acc = acc + jax.lax.dot_general(
-                onehot, part, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        return acc
+        return acc + jax.lax.dot_general(
+            onehot, scr_r[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    def sel_body(g, acc):
-        @pl.when(g == _HEAD)
-        def _():
-            dma(rec_hbm, scr_r, 0, _HEAD, _MID, 4).wait()
-
-        @pl.when(g == _HEAD + _MID)
-        def _():
-            dma(rec_hbm, scr_r, 0, _HEAD + _MID,
-                _WINDOW - _HEAD - _MID, 5).wait()
-
-        return sel_group(g, acc, 0)
-
-    acc = jnp.zeros((band_px, _FIELDS), jnp.float32)
+    # every eagerly-started record DMA is waited BEFORE the loop (the data
+    # arrived during phase-1 compute; a wait on a finished transfer is a
+    # cheap semaphore op, and semaphores must balance even when the winner
+    # range skips groups)
+    acc = jnp.zeros((band_px, _RFIELDS), jnp.float32)
     rhead.wait()
-    acc = jax.lax.fori_loop(0, gn0, sel_body, acc)
+
+    @pl.when(has_mid)
+    def _():
+        dma(rec_hbm, scr_r, 0, _HEAD, _MID, 4).wait()
+
+    @pl.when(has_tail)
+    def _():
+        dma(rec_hbm, scr_r, 0, _HEAD + _MID,
+            _WINDOW - _HEAD - _MID, 5).wait()
+
+    acc = jax.lax.fori_loop(
+        jnp.maximum(g_min, 0), jnp.minimum(g_max + 1, gn0),
+        lambda g, a: sel_group(g, a, 0), acc)
 
     def sel_win_body(w, acc):
         wbase = w * _WINDOW
         d = dma(rec_hbm, scr_r, wbase, 0, _WINDOW, 3)
         d.start()
         d.wait()
-        nw = jnp.minimum(gn - wbase, _WINDOW)
+        lo_g = jnp.maximum(g_min - wbase, 0)
+        hi_g = jnp.minimum(jnp.minimum(g_max + 1, gn) - wbase, _WINDOW)
         return jax.lax.fori_loop(
-            0, nw, lambda g, a: sel_group(g, a, wbase), acc)
+            lo_g, hi_g, lambda g, a: sel_group(g, a, wbase), acc)
 
     acc = jax.lax.fori_loop(1, n_win, sel_win_body, acc)
     prec_ref[0, 0] = acc
@@ -256,12 +268,51 @@ def _interpret() -> bool:
 
 
 def _group_layout(arr_flat):
-    """(B, rows, 16) -> (B, n_groups, 16 fields, GLANES) — fields on
+    """(B, rows, F) -> (B, n_groups, F fields, GLANES) — fields on
     sublanes, triangles on lanes, 8 chunks side-by-side per group."""
-    bsz, rows, _ = arr_flat.shape
+    bsz, rows, fields = arr_flat.shape
     ngrp = rows // _GLANES
-    a = arr_flat.reshape(bsz, ngrp, _GRP, _CHUNK, _ROW_PAD)
-    return a.transpose(0, 1, 4, 2, 3).reshape(bsz, ngrp, _ROW_PAD, _GLANES)
+    a = arr_flat.reshape(bsz, ngrp, _GRP, _CHUNK, fields)
+    return a.transpose(0, 1, 4, 2, 3).reshape(bsz, ngrp, fields, _GLANES)
+
+
+def _split2(x):
+    """f32 -> (hi, lo) bf16 parts with x == f32(hi) + f32(lo) to 16
+    significand bits; each part is EXACTLY representable in bf16, so a
+    single bf16 MXU pass reads it without rounding."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split3(x):
+    """f32 -> 3 bf16 parts (24 significand bits ~= full f32)."""
+    p0 = x.astype(jnp.bfloat16)
+    r = x - p0.astype(jnp.float32)
+    p1 = r.astype(jnp.bfloat16)
+    p2 = (r - p1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return p0, p1, p2
+
+
+def _split_records(records, coeffs):
+    """Build the (B, rows, 48) bf16 pre-split select record.
+
+    Layout (all parts exactly bf16; reconstruction is a plain f32 sum):
+      0:9    radiance corner hi     9:18   radiance corner lo
+      18:24  affine w-coeff hi      24:30  affine w-coeff lo
+             (wa0, wb0, wc0, wa1, wb1, wc1 — O(1) anchored values)
+      30:33  anchor x0 in 3 parts   33:36  anchor y0 in 3 parts
+      36:42  screen corner hi       42:48  screen corner lo
+             (differentiable dL/dV_xy path; 16-bit is gradient-only —
+              the forward barycentrics come from the affine fields)
+    """
+    rad_hi, rad_lo = _split2(records[..., 0:9])
+    w_hi, w_lo = _split2(coeffs[..., 0:6])
+    x0 = _split3(coeffs[..., 9:10])
+    y0 = _split3(coeffs[..., 10:11])
+    scr_hi, scr_lo = _split2(records[..., 9:15])
+    return jnp.concatenate(
+        [rad_hi, rad_lo, w_hi, w_lo, *x0, *y0, scr_hi, scr_lo], axis=-1)
 
 
 def _band_windows(verts_ndc, faces, height, width, tile_h, tile_w,
@@ -355,9 +406,9 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
 def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
                 tile_h: int, cull_backfaces: bool = False):
     """Forward of the fused raster+select: records (B,rows,16) differentiable
-    render records in face order (rows = padded_rows(F)), verts_ndc
-    non-differentiable positions -> (tri_id (B,H,W), px_rec (B,H,W,16),
-    zbuf (B,H,W))."""
+    render attributes in face order (rows = padded_rows(F)), verts_ndc
+    non-differentiable positions -> (tri_id (B,H,W), sel (B,H,W,48)
+    pre-split winner record, zbuf (B,H,W))."""
     bsz = verts_ndc.shape[0]
     tile_w = ((width + 127) // 128) * 128
     n_bands = (height + tile_h - 1) // tile_h
@@ -366,7 +417,7 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
     glo, gn, coeffs = _band_windows(verts_ndc, faces, height, width,
                                     tile_h, tile_w, cull_backfaces)
     setup_g = _group_layout(coeffs)
-    rec_g = _group_layout(records)
+    rec_g = _group_layout(_split_records(records, coeffs))
 
     pos, prec, zbuf = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
@@ -380,14 +431,14 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
             ],
             scratch_shapes=[
                 pltpu.VMEM((_WINDOW, _ROW_PAD, _GLANES), jnp.float32),
-                pltpu.VMEM((_WINDOW, _ROW_PAD, _GLANES), jnp.float32),
+                pltpu.VMEM((_WINDOW, _RFIELDS, _GLANES), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((6,)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, band_px, 1),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, band_px, _FIELDS),
+                pl.BlockSpec((1, 1, band_px, _RFIELDS),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, band_px, 1),
@@ -397,7 +448,7 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, n_bands, band_px, _FIELDS),
+            jax.ShapeDtypeStruct((bsz, n_bands, band_px, _RFIELDS),
                                  jnp.float32),
             jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32),
         ],
@@ -405,7 +456,7 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
     )(glo, gn, setup_g, rec_g)
 
     pos = pos.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
-    prec = prec.reshape(bsz, n_bands * tile_h, tile_w, _FIELDS)
+    prec = prec.reshape(bsz, n_bands * tile_h, tile_w, _RFIELDS)
     prec = prec[:, :height, :width]
     zbuf = zbuf.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
     hit = pos < faces.shape[0]
@@ -418,11 +469,17 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
 def rasterize_select(records, verts_ndc, faces, height: int, width: int,
                      tile_h: int, cull_backfaces: bool = False):
     """Fused hard-visibility + per-pixel record select (the TPU render hot
-    path). Differentiable in `records` only (SURVEY.md §9.6: tri_id frozen;
-    dL/d record flows back by scatter-add over winner positions, which XLA
-    turns into the same segment-sum the reference family's hand-written
-    backward uses). verts_ndc gradients flow through the *recomputed*
-    barycentrics in ops/render.py, not through this op."""
+    path): records (B, padded_rows(F), 16) render attributes [radiance
+    corners 9 | screen corners 6 | pad] -> (tri_id, sel (B,H,W,48), zbuf),
+    where sel is the winner's pre-split record (_split_records layout;
+    ops/render.py reconstructs radiance/barycentrics/corners from it).
+
+    Differentiable in `records` only (SURVEY.md §9.6: tri_id frozen; dL/d
+    record flows back by scatter-add over winner positions, which XLA turns
+    into the same segment-sum the reference family's hand-written backward
+    uses). In the hi/lo field decomposition x == hi + lo, hi is a staircase
+    of x (zero derivative a.e.), so the cotangent of x is the LO part's
+    cotangent alone."""
     return _fused_impl(records, jax.lax.stop_gradient(verts_ndc), faces,
                        height=height, width=width, tile_h=tile_h,
                        cull_backfaces=cull_backfaces)
@@ -438,11 +495,18 @@ def _rs_fwd(records, verts_ndc, faces, height, width, tile_h,
 
 def _rs_bwd(height, width, tile_h, cull_backfaces, res, g):
     pos, rec_shape = res
-    _, g_rec, _ = g
+    _, g_sel, _ = g
     bsz, rows, _ = rec_shape
+    # reassemble the attribute cotangent from the split-field cotangents:
+    # radiance <- lo fields 9:18, screen corners <- lo fields 42:48
+    # (hi parts are staircases: zero derivative); setup-derived fields
+    # (18:36) have no differentiable source
+    g_att = jnp.concatenate(
+        [g_sel[..., 9:18], g_sel[..., 42:48],
+         jnp.zeros_like(g_sel[..., :1])], axis=-1)
     flat_pos = jnp.maximum(pos.reshape(bsz, -1), 0)
     valid = (pos.reshape(bsz, -1) >= 0)[..., None]
-    flat_g = jnp.where(valid, g_rec.reshape(bsz, -1, _FIELDS), 0.0)
+    flat_g = jnp.where(valid, g_att.reshape(bsz, -1, _FIELDS), 0.0)
     # scatter-add cotangents to record rows (training path only)
     offs = jnp.arange(bsz)[:, None] * rows
     seg = (flat_pos + offs).reshape(-1)

@@ -98,33 +98,53 @@ def _pack_render_records(verts_ndc, radiance, faces, height: int,
     return jnp.pad(rec, ((0, 0), (0, pad_rows - rec.shape[1]), (0, 0)))
 
 
-def _shade_from_records(tri_id, px_rec, height: int, width: int):
-    """Barycentric blend from per-pixel records [r0..2(9), s0..2(6), pad].
+def _shade_from_sel(tri_id, sel, height: int, width: int):
+    """Shade from the kernel's pre-split winner record (B,H,W,48) — layout
+    in rasterize_pallas._split_records.
 
-    Same differentiable math as shade_packed's tail: dL/dradiance and
-    dL/dV_xy flow through the record values; tri_id stays frozen.
+    Forward barycentrics come from the winner's anchored AFFINE fields
+    (O(1)-magnitude coefficients: precise at the split's 16 bits; the
+    anchor is carried in 3 parts = full f32). The dL/dV_xy gradient flows
+    through the edge-form recompute from the selected screen CORNERS
+    (the differentiable fields, per SURVEY.md §9.6), attached by a
+    straight-through combination: forward value = affine bary, gradient =
+    corner bary. dL/dradiance flows through the selected radiance fields.
     """
     jj, ii = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
     px = (jj + 0.5).astype(jnp.float32)[None]
     py = (ii + 0.5).astype(jnp.float32)[None]
-    x0, y0 = px_rec[..., 9], px_rec[..., 10]
-    x1, y1 = px_rec[..., 11], px_rec[..., 12]
-    x2, y2 = px_rec[..., 13], px_rec[..., 14]
+
+    rad = sel[..., 0:9] + sel[..., 9:18]
+    wc = jax.lax.stop_gradient(sel[..., 18:24] + sel[..., 24:30])
+    x0a = jax.lax.stop_gradient(sel[..., 30:33].sum(-1))
+    y0a = jax.lax.stop_gradient(sel[..., 33:36].sum(-1))
+    qx = px - x0a
+    qy = py - y0a
+    w0_f = wc[..., 0] * qx + wc[..., 1] * qy + wc[..., 2]
+    w1_f = wc[..., 3] * qx + wc[..., 4] * qy + wc[..., 5]
+    bary_fwd = jnp.stack([w0_f, w1_f, 1.0 - w0_f - w1_f], axis=-1)
+
+    scr = sel[..., 36:42] + sel[..., 42:48]
+    x0, y0 = scr[..., 0], scr[..., 1]
+    x1, y1 = scr[..., 2], scr[..., 3]
+    x2, y2 = scr[..., 4], scr[..., 5]
 
     def edge(ax, ay, bx, by):
         return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
 
     e0 = edge(x1, y1, x2, y2)
     e1 = edge(x2, y2, x0, y0)
-    e2 = edge(x0, y0, x1, y1)
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
     inv_area = jnp.where(area == 0, 0.0, 1.0 / area)
-    w0, w1, w2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
+    w0_g, w1_g = e0 * inv_area, e1 * inv_area
+    bary_grad = jnp.stack([w0_g, w1_g, 1.0 - w0_g - w1_g], axis=-1)
+
+    bary = bary_grad + jax.lax.stop_gradient(bary_fwd - bary_grad)
     hit = (tri_id >= 0)[..., None]
-    bary = jnp.where(hit, jnp.stack([w0, w1, w2], axis=-1), 0.0)
-    color = (w0[..., None] * px_rec[..., 0:3]
-             + w1[..., None] * px_rec[..., 3:6]
-             + w2[..., None] * px_rec[..., 6:9])
+    bary = jnp.where(hit, bary, 0.0)
+    color = (bary[..., 0:1] * rad[..., 0:3]
+             + bary[..., 1:2] * rad[..., 3:6]
+             + bary[..., 2:3] * rad[..., 6:9])
     return jnp.where(hit, color, 0.0), bary
 
 
@@ -154,7 +174,28 @@ def shade_packed(tri_id, verts_ndc, radiance, faces, height: int,
     safe = jnp.maximum(tri_id, 0)
     px_rec = jnp.take_along_axis(
         rec, safe.reshape(b, -1, 1), axis=1).reshape(*tri_id.shape, 15)
-    return _shade_from_records(tri_id, px_rec, height, width)
+
+    jj, ii = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
+    px = (jj + 0.5).astype(jnp.float32)[None]
+    py = (ii + 0.5).astype(jnp.float32)[None]
+    x0, y0 = px_rec[..., 9], px_rec[..., 10]
+    x1, y1 = px_rec[..., 11], px_rec[..., 12]
+    x2, y2 = px_rec[..., 13], px_rec[..., 14]
+
+    def edge(ax, ay, bx, by):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    e0 = edge(x1, y1, x2, y2)
+    e1 = edge(x2, y2, x0, y0)
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    inv_area = jnp.where(area == 0, 0.0, 1.0 / area)
+    w0, w1 = e0 * inv_area, e1 * inv_area
+    hit = (tri_id >= 0)[..., None]
+    bary = jnp.where(hit, jnp.stack([w0, w1, 1.0 - w0 - w1], axis=-1), 0.0)
+    color = (bary[..., 0:1] * px_rec[..., 0:3]
+             + bary[..., 1:2] * px_rec[..., 3:6]
+             + bary[..., 2:3] * px_rec[..., 6:9])
+    return jnp.where(hit, color, 0.0), bary
 
 
 class RenderOut(NamedTuple):
@@ -181,9 +222,9 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
         records = _pack_render_records(
             geom.verts_ndc, radiance, bfm.faces, h, w,
             rasterize_pallas.padded_rows(bfm.faces.shape[0]))
-        tri_id, px_rec, _ = rasterize_pallas.rasterize_select(
+        tri_id, sel, _ = rasterize_pallas.rasterize_select(
             records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
-        color, bary = _shade_from_records(tri_id, px_rec, h, w)
+        color, bary = _shade_from_sel(tri_id, sel, h, w)
     else:
         tri_id = rasterize_tiled.rasterize_batch(
             jax.lax.stop_gradient(geom.verts_ndc), bfm.faces, height=h,

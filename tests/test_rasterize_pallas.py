@@ -16,7 +16,7 @@ from facerecon_tpu.ops import geometry as G
 from facerecon_tpu.ops import rasterize_pallas as RP
 from facerecon_tpu.ops import sh as sh_ops
 from facerecon_tpu.ops.render import (_pack_render_records,
-                                      _shade_from_records, shade_packed)
+                                      _shade_from_sel, shade_packed)
 from facerecon_tpu.utils.coeffs import split_coeff
 
 from conftest import make_coeff
@@ -102,18 +102,18 @@ def test_pallas_triangle_soup():
 
 
 def test_fused_select_matches_gather_path(cfg, assets, rng):
-    """rasterize_select (the TPU render hot path) must equal the plain
-    jnp gather shading bit-for-bit in interpret mode, including the bf16
-    hi/mid/lo record split."""
+    """rasterize_select (the TPU render hot path) must match the plain jnp
+    gather shading: radiance through the 16-bit hi/lo split (rel err
+    <= 2^-16), barycentrics through the full-precision affine fields."""
     bfm, c, geom = _geom(cfg, assets, rng, batch=2)
     h = w = cfg.image_size
     radiance = sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
     records = _pack_render_records(
         geom.verts_ndc, radiance, bfm.faces, h, w,
         RP.padded_rows(bfm.faces.shape[0]))
-    tid, px_rec, _ = RP.rasterize_select(
+    tid, sel, _ = RP.rasterize_select(
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
-    color_f, bary_f = _shade_from_records(tid, px_rec, h, w)
+    color_f, bary_f = _shade_from_sel(tid, sel, h, w)
 
     tid_ref, _, _ = RP.rasterize_batch(
         geom.verts_ndc, bfm.faces, height=h, width=w, tile_h=cfg.tile_h)
@@ -121,36 +121,41 @@ def test_fused_select_matches_gather_path(cfg, assets, rng):
                                    bfm.faces, h, w)
     assert np.array_equal(np.asarray(tid), np.asarray(tid_ref))
     np.testing.assert_allclose(np.asarray(color_f), np.asarray(color_r),
-                               atol=1e-5)
+                               atol=1e-4)
     np.testing.assert_allclose(np.asarray(bary_f), np.asarray(bary_r),
-                               atol=1e-5)
+                               atol=1e-4)
     # background pixels must select the zero record
     bg = np.asarray(tid) < 0
-    assert np.all(np.asarray(px_rec)[bg] == 0.0)
+    assert np.all(np.asarray(sel)[bg] == 0.0)
 
 
 def test_fused_select_vjp_is_scatter_add(cfg, assets, rng):
+    """d/d records of the reconstructed attributes == scatter-add of the
+    per-pixel cotangent over winner positions (the §9.6 contract)."""
     bfm, c, geom = _geom(cfg, assets, rng)
     h = w = cfg.image_size
     radiance = sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
     records = _pack_render_records(
         geom.verts_ndc, radiance, bfm.faces, h, w,
         RP.padded_rows(bfm.faces.shape[0]))
-    tid, px_rec, _ = RP.rasterize_select(
+    tid, sel, _ = RP.rasterize_select(
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
-    g = jnp.asarray(
-        np.random.default_rng(5).standard_normal(px_rec.shape)
-        .astype(np.float32))
+    local = np.random.default_rng(5)
+    g15 = jnp.asarray(local.standard_normal(
+        (*tid.shape, 15)).astype(np.float32))
 
     def f(r):
         out = RP.rasterize_select(r, geom.verts_ndc, bfm.faces, h, w,
-                                  cfg.tile_h)
-        return jnp.sum(out[1] * g)
+                                  cfg.tile_h)[1]
+        rad = out[..., 0:9] + out[..., 9:18]       # reconstructed radiance
+        scr = out[..., 36:42] + out[..., 42:48]    # reconstructed corners
+        return jnp.sum(jnp.concatenate([rad, scr], -1) * g15)
 
     grad = np.asarray(jax.grad(f)(records))
     pos = np.asarray(tid)
     exp = np.zeros(records.shape, np.float32)
-    gn = np.asarray(g)
+    gn = np.concatenate([np.asarray(g15),
+                         np.zeros((*pos.shape, 1), np.float32)], -1)
     b_idx, i_idx, j_idx = np.nonzero(pos >= 0)
     np.add.at(exp, (b_idx, pos[b_idx, i_idx, j_idx]),
               gn[b_idx, i_idx, j_idx])
