@@ -1,8 +1,10 @@
 """Headline benchmark — BASELINE.md: faces/sec/chip, batch-256 regress +
 render at 224x224 on one TPU v5e chip. Prints ONE JSON line.
 
-  python bench.py            # full benchmark (compile can take minutes)
+  python bench.py                   # headline (compile can take minutes)
   BENCH_BATCH=64 python bench.py
+  BENCH_MODE=render512 python bench.py   # config 5: batch-256 512x512
+                                         # rendering (no CNN), microbatched
 """
 
 from __future__ import annotations
@@ -24,7 +26,62 @@ import jax.numpy as jnp
 TARGET_FACES_PER_SEC = 5000.0  # BASELINE.json north-star
 
 
+def render512():
+    """Config-5 harness (BASELINE.json: "batch-256 512x512 rendering"):
+    coefficients -> full differentiable render at 512x512, microbatched to
+    bound intermediates, one JSON line."""
+    from facerecon_tpu.config import default_config
+    from facerecon_tpu.data.synthetic import sample_coeffs
+    from facerecon_tpu.ops.geometry import device_bfm
+    from facerecon_tpu.ops.render import render_coeffs
+    from facerecon_tpu.utils.bfm import synthetic_bfm
+    from facerecon_tpu.utils.coeffs import split_coeff
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    micro = int(os.environ.get("BENCH_MICROBATCH", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    size = 512
+    # 1-row bands at 512: the 512-lane column tile doubles the per-band
+    # pixel count, so halve the band height to keep eval tiles VMEM-sized
+    cfg = default_config(image_size=size, focal=1015.0 * size / 224.0,
+                         tile_h=1, batch_size=batch)
+    assets = synthetic_bfm(cfg, seed=0)
+    bfm = device_bfm(assets)
+    assert batch % micro == 0
+    n_micro = batch // micro
+
+    @jax.jit
+    def render_all(bfm, coeffs):
+        cs = coeffs.reshape(n_micro, micro, -1)
+
+        def one(cv):
+            out = render_coeffs(split_coeff(cv, cfg), bfm, cfg)
+            return jnp.mean(out.image, axis=(1, 2, 3))  # depend on shading
+
+        means = jax.lax.map(one, cs)
+        return jnp.sum(means), means
+
+    rng = np.random.default_rng(0)
+    coeffs = jnp.asarray(sample_coeffs(rng, cfg, batch))
+    out = render_all(bfm, coeffs)
+    _ = float(out[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = render_all(bfm, coeffs)
+    _ = float(out[0])
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": "faces/sec/chip (render-only, 512px, batch-%d)" % batch,
+        "value": round(batch / dt, 1),
+        "unit": "faces/s",
+        "vs_baseline": None,
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "render512":
+        render512()
+        return
     from facerecon_tpu.config import default_config
     from facerecon_tpu.pipeline import (init_params, make_pipeline,
                                         make_reconstruct_fn)
@@ -39,6 +96,9 @@ def main():
     assets = synthetic_bfm(cfg, seed=0)
     pipe = make_pipeline(cfg, assets)
     variables = init_params(pipe, jax.random.PRNGKey(0))
+    # serve the inference-fused model (BN folded, s2d stem — exact)
+    from facerecon_tpu.pipeline import fuse_for_inference
+    pipe, variables = fuse_for_inference(pipe, variables)
     inner = make_reconstruct_fn(pipe)
 
     assert batch % micro == 0

@@ -46,3 +46,20 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+
+
+def restore_or_init(pipe, ckpt: Optional[str], seed: int = 0):
+    """CNN variables for a pipeline: restored from `ckpt` when given, else
+    fresh-initialized (zero head -> mean-face predictions).
+
+    Templateless restore: training checkpoints also carry opt_state, whose
+    structure inference-side callers do not know.
+    """
+    import jax.numpy as jnp
+    from facerecon_tpu.pipeline import init_params
+
+    variables = init_params(pipe, jax.random.PRNGKey(seed))
+    if ckpt:
+        state = CheckpointManager(ckpt).restore()
+        variables = jax.tree.map(jnp.asarray, state["variables"])
+    return variables

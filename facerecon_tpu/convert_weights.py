@@ -72,6 +72,94 @@ def import_flat(params_template, flat: Mapping[str, np.ndarray],
     return new_params, report
 
 
+def _resnet_key_map(depth: int = 50) -> Dict[str, tuple]:
+    """Deterministic torchvision-ResNet name -> facerecon tree address map.
+
+    Structured on (layer index, block index, param kind) — NOT greedy
+    name-suffix matching, which mis-maps same-shaped layers (every ResNet
+    has dozens). Addresses are ('params'|'batch_stats', module, leaf).
+    """
+    stages = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}[depth]
+
+    def bn(prefix, module):
+        return {
+            f"{prefix}.weight": ("params", module, "scale"),
+            f"{prefix}.bias": ("params", module, "bias"),
+            f"{prefix}.running_mean": ("batch_stats", module, "mean"),
+            f"{prefix}.running_var": ("batch_stats", module, "var"),
+        }
+
+    m = {"conv1.weight": ("params", "Conv_0", "kernel"),
+         "fc.weight": ("params", "Dense_0", "kernel"),
+         "fc.bias": ("params", "Dense_0", "bias")}
+    m.update(bn("bn1", "BatchNorm_0"))
+    blk = 0
+    for li, n_blocks in enumerate(stages):
+        for k in range(n_blocks):
+            mod = f"BottleneckBlock_{blk}"
+            pre = f"layer{li + 1}.{k}"
+            for j in (1, 2, 3):
+                m[f"{pre}.conv{j}.weight"] = (
+                    "params", f"{mod}.Conv_{j - 1}", "kernel")
+                m.update(bn(f"{pre}.bn{j}", f"{mod}.BatchNorm_{j - 1}"))
+            if k == 0:
+                # only the first block of a stage projects the residual
+                # (channel/stride change) — in torchvision AND in
+                # models/resnet.py's shape-mismatch condition
+                m[f"{pre}.downsample.0.weight"] = (
+                    "params", f"{mod}.Conv_3", "kernel")
+                m.update(bn(f"{pre}.downsample.1", f"{mod}.BatchNorm_3"))
+            blk += 1
+    return m
+
+
+def import_torch_resnet(variables, flat: Mapping[str, np.ndarray],
+                        depth: int = 50):
+    """Import a torchvision-style ResNet state_dict (already converted to
+    a flat numpy dict by from_torch_state_dict) into {params, batch_stats}
+    by the structured _resnet_key_map. The classifier head is skipped when
+    its shape differs (the reference regresses coefficients, not classes).
+
+    Returns (variables, report) where report lists every decision.
+    """
+    key_map = _resnet_key_map(depth)
+    new_vars = jax.tree_util.tree_map(np.asarray, variables)
+    imported, skipped, unknown = [], [], []
+
+    def address(col, module, leaf):
+        node = new_vars[col]
+        for part in module.split("."):
+            node = node[part]
+        return node, leaf
+
+    for name, arr in flat.items():
+        if name not in key_map:
+            unknown.append(name)
+            continue
+        col, module, leaf = key_map[name]
+        node, leaf_key = address(col, module, leaf)
+        arr = np.asarray(arr)
+        if name == "fc.weight":
+            arr = arr.T          # torch Linear is (out, in); flax (in, out)
+        if node[leaf_key].shape != arr.shape:
+            skipped.append((name, tuple(arr.shape),
+                            tuple(node[leaf_key].shape)))
+            continue
+        node[leaf_key] = arr.astype(node[leaf_key].dtype)
+        imported.append(name)
+
+    missing = [k for k in key_map
+               if k not in flat and not k.startswith("fc.")]
+    report = {"imported": len(imported), "shape_skipped": skipped,
+              "unknown_keys": unknown,
+              "missing_expected": missing}
+    return ({"params": jax.tree_util.tree_map(jax.numpy.asarray,
+                                              new_vars["params"]),
+             "batch_stats": jax.tree_util.tree_map(jax.numpy.asarray,
+                                                   new_vars["batch_stats"])},
+            report)
+
+
 def from_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
@@ -116,16 +204,18 @@ def main(argv=None):
 
     if args.torch:
         flat = from_torch_state_dict(args.torch)
+        new_vars, report = import_torch_resnet(variables, flat)
+        variables = {**variables, **new_vars}
     elif args.tf:
         flat = from_tf_checkpoint(args.tf)
+        params, report = import_flat(variables["params"], flat)
+        variables = {**variables, "params": params}
     else:
         raise SystemExit("provide --torch or --tf")
 
-    params, report = import_flat(variables["params"], flat)
     print(report)
     mgr = CheckpointManager(args.out)
-    mgr.save(0, {"variables": {**variables, "params": jax.device_get(params)},
-                 "step": 0})
+    mgr.save(0, {"variables": jax.device_get(variables), "step": 0})
     mgr.wait()
     print(f"saved converted checkpoint to {args.out}")
 

@@ -67,16 +67,33 @@ def make_fit_fn(cfg: FaceReconConfig, steps: int, lr: float = 5e-3):
     return fit
 
 
+def net_initial_coeffs(cfg: FaceReconConfig, assets, images, ckpt: str,
+                       seed: int = 0) -> jnp.ndarray:
+    """CNN warm start for the fit (SURVEY.md §3 C17 "optionally
+    net-initialized"): regress coefficients from a trained checkpoint and
+    use them as coeff0 instead of the mean face."""
+    from facerecon_tpu.checkpoint import restore_or_init
+    from facerecon_tpu.pipeline import make_pipeline
+    pipe = make_pipeline(cfg, assets)
+    variables = restore_or_init(pipe, ckpt, seed)
+    return pipe.model.apply(variables, jnp.asarray(images), train=False)
+
+
 def run(args) -> dict:
     cfg = tiny_config() if args.tiny else default_config()
     assets = synthetic_bfm(cfg, seed=0)
     bfm = device_bfm(assets)
     rng = np.random.default_rng(args.seed)
 
-    # ground-truth synthetic target; start the fit from the mean face
+    # ground-truth synthetic target; start from the mean face, or from the
+    # CNN's prediction when a trained checkpoint is given
     gt_coeff = sample_coeffs(rng, cfg, args.batch)
     target, gt_lmk = render_batch(gt_coeff, bfm, cfg)
-    coeff0 = jnp.zeros((args.batch, cfg.n_coeff), jnp.float32)
+    if getattr(args, 'ckpt', None):
+        coeff0 = net_initial_coeffs(cfg, assets, target, args.ckpt,
+                                    args.seed)
+    else:
+        coeff0 = jnp.zeros((args.batch, cfg.n_coeff), jnp.float32)
 
     fit = make_fit_fn(cfg, steps=args.steps, lr=args.lr)
     t0 = time.time()
@@ -109,6 +126,8 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=5e-3)
     p.add_argument("--landmarks", action="store_true",
                    help="use ground-truth landmarks in the objective")
+    p.add_argument("--ckpt", default=None,
+                   help="trained CNN checkpoint: net-initialize the fit")
     p.add_argument("--out", default=None)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=0)

@@ -76,14 +76,8 @@ def get_assets(args, cfg: FaceReconConfig) -> BFMAssets:
 
 
 def restore_variables(pipe: Pipeline, ckpt: str | None, seed: int = 0):
-    variables = init_params(pipe, jax.random.PRNGKey(seed))
-    if ckpt:
-        from facerecon_tpu.checkpoint import CheckpointManager
-        # templateless restore: training checkpoints also carry opt_state,
-        # which inference does not know the structure of
-        state = CheckpointManager(ckpt).restore()
-        variables = jax.tree.map(jnp.asarray, state["variables"])
-    return variables
+    from facerecon_tpu.checkpoint import restore_or_init
+    return restore_or_init(pipe, ckpt, seed)
 
 
 def run(args) -> dict:

@@ -58,6 +58,7 @@ _MID = 2                # groups in the second eager DMA (gn in (2,4])
 _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
 _FIELDS = 16            # caller-facing render-attribute record width
 _RFIELDS = 48           # pre-split select record width (see _split_records)
+_OUT_F = 56             # packed bf16 output row: sel 48 | pos 3 | z 2 | pad
 
 
 def padded_rows(n_faces: int) -> int:
@@ -81,7 +82,7 @@ def _kernel(glo_ref, gn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
     to 128 lanes in SMEM (64x memory blowup).
     """
     if with_select:
-        rec_hbm, pos_ref, prec_ref, z_ref, scr_s, scr_r, sem = rest
+        rec_hbm, packed_ref, scr_s, scr_r, sem = rest
     else:
         pos_ref, z_ref, scr_s, sem = rest
     b = pl.program_id(0)
@@ -196,10 +197,10 @@ def _kernel(glo_ref, gn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
             0, nw, lambda g, c: eval_group(g, c, wbase), carry)
 
     zbest, posbest = jax.lax.fori_loop(1, n_win, win_body, carry)
-    pos_ref[0, 0] = posbest
-    z_ref[0, 0] = zbest
 
     if not with_select:
+        pos_ref[0, 0] = posbest
+        z_ref[0, 0] = zbest
         return
 
     # ---- phase 2: one-hot MXU select of the winner's render record ----
@@ -253,7 +254,23 @@ def _kernel(glo_ref, gn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
             lo_g, hi_g, lambda g, a: sel_group(g, a, wbase), acc)
 
     acc = jax.lax.fori_loop(1, n_win, sel_win_body, acc)
-    prec_ref[0, 0] = acc
+
+    # ONE packed bf16 output row per pixel: separate narrow outputs pad
+    # their minor dim to 128 lanes in the tiled HBM layout (a (.., 1) f32
+    # plane costs 128x its size — batch-256 overflowed HBM by gigabytes of
+    # padding). All sel values are exact bf16 by construction; pos packs
+    # into 3 byte-valued fields and z into a bf16 hi/lo pair.
+    posu = posbest + 1                       # 0 = background
+    p0 = (posu & 255).astype(jnp.bfloat16)
+    p1 = ((posu >> 8) & 255).astype(jnp.bfloat16)
+    p2 = (posu >> 16).astype(jnp.bfloat16)
+    zsafe = jnp.where(posbest >= 0, zbest, 0.0)
+    zhi = zsafe.astype(jnp.bfloat16)
+    zlo = (zsafe - zhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    packed_ref[0, 0] = jnp.concatenate(
+        [acc.astype(jnp.bfloat16), p0, p1, p2, zhi, zlo,
+         jnp.zeros((band_px, _OUT_F - _RFIELDS - 5), jnp.bfloat16)],
+        axis=1)
 
 
 def is_available() -> bool:
@@ -419,7 +436,7 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
     setup_g = _group_layout(coeffs)
     rec_g = _group_layout(_split_records(records, coeffs))
 
-    pos, prec, zbuf = pl.pallas_call(
+    packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
                           band_px=band_px, with_select=True),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -435,33 +452,36 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
                 pltpu.SemaphoreType.DMA((6,)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, band_px, 1),
-                             lambda b, t, *_: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, band_px, _RFIELDS),
-                             lambda b, t, *_: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, band_px, 1),
+                pl.BlockSpec((1, 1, band_px, _OUT_F),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, n_bands, band_px, _RFIELDS),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_bands, band_px, _OUT_F),
+                                 jnp.bfloat16),
         ],
         interpret=_interpret(),
-    )(glo, gn, setup_g, rec_g)
+    )(glo, gn, setup_g, rec_g)[0]
 
-    pos = pos.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
-    prec = prec.reshape(bsz, n_bands * tile_h, tile_w, _RFIELDS)
-    prec = prec[:, :height, :width]
-    zbuf = zbuf.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
-    hit = pos < faces.shape[0]
+    # ONE transpose to field-major (B, F, H, W): per-field slices of a
+    # feature-minor array materialize (B,H,W,1)-shaped temps whose minor
+    # dim pads 128x in the TPU tiled layout (4 GB apiece at 512x512);
+    # field-major slices keep W minor and pad nothing
+    packed = jnp.transpose(packed, (0, 3, 1, 2))
+    packed = packed.reshape(bsz, _OUT_F, n_bands * tile_h, tile_w)
+    packed = packed[:, :, :height, :width]
+    pos = (packed[:, 48].astype(jnp.int32)
+           + packed[:, 49].astype(jnp.int32) * 256
+           + packed[:, 50].astype(jnp.int32) * 65536) - 1
+    zbuf = (packed[:, 51].astype(jnp.float32)
+            + packed[:, 52].astype(jnp.float32))
+    # background pixels already selected the zero record in-kernel (their
+    # one-hot matches no lane), so sel needs no mask
+    hit = (pos >= 0) & (pos < faces.shape[0])
     pos = jnp.where(hit, pos, -1)
-    prec = jnp.where(hit[..., None], prec, 0.0)
+    prec = packed[:, :_RFIELDS].astype(jnp.float32)
+    zbuf = jnp.where(hit, zbuf, jnp.inf)
     return pos, prec, zbuf
 
 
@@ -470,9 +490,10 @@ def rasterize_select(records, verts_ndc, faces, height: int, width: int,
                      tile_h: int, cull_backfaces: bool = False):
     """Fused hard-visibility + per-pixel record select (the TPU render hot
     path): records (B, padded_rows(F), 16) render attributes [radiance
-    corners 9 | screen corners 6 | pad] -> (tri_id, sel (B,H,W,48), zbuf),
-    where sel is the winner's pre-split record (_split_records layout;
-    ops/render.py reconstructs radiance/barycentrics/corners from it).
+    corners 9 | screen corners 6 | pad] -> (tri_id, sel (B,48,H,W), zbuf),
+    where sel is the winner's pre-split record, FIELD-MAJOR so per-field
+    reads slice on the W-minor axis (_split_records layout; ops/render.py
+    reconstructs radiance/barycentrics/corners from it).
 
     Differentiable in `records` only (SURVEY.md §9.6: tri_id frozen; dL/d
     record flows back by scatter-add over winner positions, which XLA turns
@@ -495,12 +516,13 @@ def _rs_fwd(records, verts_ndc, faces, height, width, tile_h,
 
 def _rs_bwd(height, width, tile_h, cull_backfaces, res, g):
     pos, rec_shape = res
-    _, g_sel, _ = g
+    _, g_sel, _ = g                    # g_sel is field-major (B, 48, H, W)
     bsz, rows, _ = rec_shape
     # reassemble the attribute cotangent from the split-field cotangents:
     # radiance <- lo fields 9:18, screen corners <- lo fields 42:48
     # (hi parts are staircases: zero derivative); setup-derived fields
     # (18:36) have no differentiable source
+    g_sel = jnp.transpose(g_sel, (0, 2, 3, 1))
     g_att = jnp.concatenate(
         [g_sel[..., 9:18], g_sel[..., 42:48],
          jnp.zeros_like(g_sel[..., :1])], axis=-1)

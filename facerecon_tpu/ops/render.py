@@ -99,8 +99,8 @@ def _pack_render_records(verts_ndc, radiance, faces, height: int,
 
 
 def _shade_from_sel(tri_id, sel, height: int, width: int):
-    """Shade from the kernel's pre-split winner record (B,H,W,48) — layout
-    in rasterize_pallas._split_records.
+    """Shade from the kernel's pre-split winner record, FIELD-MAJOR
+    (B,48,H,W) — layout in rasterize_pallas._split_records.
 
     Forward barycentrics come from the winner's anchored AFFINE fields
     (O(1)-magnitude coefficients: precise at the split's 16 bits; the
@@ -114,20 +114,27 @@ def _shade_from_sel(tri_id, sel, height: int, width: int):
     px = (jj + 0.5).astype(jnp.float32)[None]
     py = (ii + 0.5).astype(jnp.float32)[None]
 
-    rad = sel[..., 0:9] + sel[..., 9:18]
-    wc = jax.lax.stop_gradient(sel[..., 18:24] + sel[..., 24:30])
-    x0a = jax.lax.stop_gradient(sel[..., 30:33].sum(-1))
-    y0a = jax.lax.stop_gradient(sel[..., 33:36].sum(-1))
+    # scalar field planes (B,H,W) from the field-major layout: slicing a
+    # feature-MINOR array instead would materialize temps whose minor dim
+    # pads to 128 lanes on TPU — 4 GB apiece at 512x512
+    def f(k):
+        return sel[:, k]
+
+    def fg(k):  # setup-derived fields: no differentiable source
+        return jax.lax.stop_gradient(sel[:, k])
+
+    x0a = fg(30) + fg(31) + fg(32)
+    y0a = fg(33) + fg(34) + fg(35)
     qx = px - x0a
     qy = py - y0a
-    w0_f = wc[..., 0] * qx + wc[..., 1] * qy + wc[..., 2]
-    w1_f = wc[..., 3] * qx + wc[..., 4] * qy + wc[..., 5]
-    bary_fwd = jnp.stack([w0_f, w1_f, 1.0 - w0_f - w1_f], axis=-1)
+    w0_f = (fg(18) + fg(24)) * qx + (fg(19) + fg(25)) * qy \
+        + (fg(20) + fg(26))
+    w1_f = (fg(21) + fg(27)) * qx + (fg(22) + fg(28)) * qy \
+        + (fg(23) + fg(29))
 
-    scr = sel[..., 36:42] + sel[..., 42:48]
-    x0, y0 = scr[..., 0], scr[..., 1]
-    x1, y1 = scr[..., 2], scr[..., 3]
-    x2, y2 = scr[..., 4], scr[..., 5]
+    x0, y0 = f(36) + f(42), f(37) + f(43)
+    x1, y1 = f(38) + f(44), f(39) + f(45)
+    x2, y2 = f(40) + f(46), f(41) + f(47)
 
     def edge(ax, ay, bx, by):
         return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
@@ -137,15 +144,22 @@ def _shade_from_sel(tri_id, sel, height: int, width: int):
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
     inv_area = jnp.where(area == 0, 0.0, 1.0 / area)
     w0_g, w1_g = e0 * inv_area, e1 * inv_area
-    bary_grad = jnp.stack([w0_g, w1_g, 1.0 - w0_g - w1_g], axis=-1)
 
-    bary = bary_grad + jax.lax.stop_gradient(bary_fwd - bary_grad)
-    hit = (tri_id >= 0)[..., None]
-    bary = jnp.where(hit, bary, 0.0)
-    color = (bary[..., 0:1] * rad[..., 0:3]
-             + bary[..., 1:2] * rad[..., 3:6]
-             + bary[..., 2:3] * rad[..., 6:9])
-    return jnp.where(hit, color, 0.0), bary
+    # straight-through: forward = precise affine bary, gradient = corners
+    w0 = w0_g + jax.lax.stop_gradient(w0_f - w0_g)
+    w1 = w1_g + jax.lax.stop_gradient(w1_f - w1_g)
+    w2 = 1.0 - w0 - w1
+    hit2 = tri_id >= 0
+    chans = [jnp.where(hit2, w0 * (f(c) + f(c + 9))
+                       + w1 * (f(c + 3) + f(c + 12))
+                       + w2 * (f(c + 6) + f(c + 15)), 0.0)
+             for c in range(3)]
+    color = jnp.stack(chans, axis=-1)
+    # mask per scalar plane BEFORE stacking: where(hit[..., None], ...) on
+    # the stacked (B,H,W,3) materializes minor-dim-padded temps on TPU
+    bary = jnp.stack([jnp.where(hit2, w, 0.0) for w in (w0, w1, w2)],
+                     axis=-1)
+    return color, bary
 
 
 def shade_packed(tri_id, verts_ndc, radiance, faces, height: int,

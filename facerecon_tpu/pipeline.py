@@ -40,6 +40,17 @@ def init_params(pipe: Pipeline, rng_key, image_size: Optional[int] = None):
     return variables  # {'params': ..., 'batch_stats': ...}
 
 
+def fuse_for_inference(pipe: Pipeline, variables):
+    """Deploy-time transform: fold BatchNorm into conv scale/bias and
+    rewrite the 3-channel stem as a space-to-depth conv (exact to f32
+    rounding; models/fused.py). Returns (pipeline with the fused model,
+    fused variables) — use for inference/serving; training keeps BN."""
+    from facerecon_tpu.models.fused import build_fused_model, fuse_variables
+    fused = Pipeline(cfg=pipe.cfg, bfm=pipe.bfm,
+                     model=build_fused_model(pipe.cfg))
+    return fused, fuse_variables(variables, pipe.cfg)
+
+
 def regress_coeffs(pipe: Pipeline, variables, images,
                    train: bool = False):
     """images (B,H,W,3) in [0,1] -> (coeff_vector (B,n_coeff), new_variables).

@@ -92,6 +92,48 @@ def make_refine_fn(cfg: FaceReconConfig, steps: int, lr: float = 5e-3):
     return refine
 
 
+def make_sequential_fn(cfg: FaceReconConfig, steps: int, lr: float = 5e-3,
+                       warm: float = 0.5):
+    """Online per-frame tracking (SURVEY.md §4.5 "warm-start from prev"):
+    each frame's coefficients are refined by `steps` gradient steps,
+    initialized from a blend of the CNN's prediction and the PREVIOUS
+    frame's refined result — the classic streaming-tracking loop, compiled
+    as one XLA program (scan over frames, scan over steps)."""
+    opt = optax.adam(lr)
+
+    def frame_loss(coeff_vec, bfm, frame, lmk):
+        coeffs = split_coeff(coeff_vec[None], cfg)
+        out = render_coeffs(coeffs, bfm, cfg, background=frame[None])
+        total, _ = total_loss(out, coeffs, frame[None], lmk[None], bfm, cfg)
+        return total
+
+    @jax.jit
+    def track(cnn_coeffs, bfm: DeviceBFM, frames, lmks):
+        def per_frame(carry, xs):
+            prev, is_first = carry
+            cnn_c, frame, lmk = xs
+            init = jnp.where(is_first, cnn_c,
+                             warm * cnn_c + (1.0 - warm) * prev)
+
+            def step(c, _):
+                coeff, opt_state = c
+                loss, grad = jax.value_and_grad(frame_loss)(
+                    coeff, bfm, frame, lmk)
+                updates, opt_state = opt.update(grad, opt_state, coeff)
+                return (optax.apply_updates(coeff, updates), opt_state), loss
+
+            (coeff, _), losses = jax.lax.scan(
+                step, (init, opt.init(init)), None, length=steps)
+            return (coeff, jnp.zeros((), bool)), (coeff, losses)
+
+        (_, _), (coeffs, losses) = jax.lax.scan(
+            per_frame, (cnn_coeffs[0], jnp.ones((), bool)),
+            (cnn_coeffs, frames, lmks))
+        return coeffs, losses
+
+    return track
+
+
 def smooth_coeffs(coeff: np.ndarray, cfg: FaceReconConfig,
                   alpha: float = 0.6) -> np.ndarray:
     """EMA temporal smoothing of pose/expression across frames."""
@@ -119,33 +161,59 @@ def run(args) -> dict:
     seq[:, s[2]] += 0.2 * np.sin(t_ax)          # yaw sweep
     frames, gt_lmk = render_batch(seq, bfm, cfg)
 
-    # stage 1: per-frame CNN regression (mean-face init net = mean face)
-    variables = init_params(pipe, jax.random.PRNGKey(args.seed))
+    # stage 1: per-frame CNN regression — trained checkpoint when given
+    # (--ckpt), otherwise fresh init (zero head -> mean face)
+    from facerecon_tpu.checkpoint import restore_or_init
+    variables = restore_or_init(pipe, getattr(args, 'ckpt', None), args.seed)
     coeff0 = np.asarray(pipe.model.apply(variables, jnp.asarray(frames),
                                          train=False))
     coeff0 = smooth_coeffs(coeff0, cfg)
 
-    # stage 2: joint refinement, frames sharded over the mesh
-    mesh = pmesh.make_mesh()
-    n_dev = len(mesh.devices.reshape(-1))
-    frames_j, lmk_j = jnp.asarray(frames), jnp.asarray(gt_lmk)
-    tp0 = _decompose(jnp.asarray(coeff0), cfg)
-    if n_dev > 1 and args.frames % n_dev == 0:
-        frames_j, lmk_j = pmesh.shard_batch(mesh, (frames_j, lmk_j))
-        tp0 = TrackParams(
-            shared_id=pmesh.replicate(mesh, tp0.shared_id),
-            shared_tex=pmesh.replicate(mesh, tp0.shared_tex),
-            per_frame=pmesh.shard_batch(mesh, tp0.per_frame))
+    if getattr(args, 'sequential', False):
+        # online mode: per-frame fit warm-started from the previous frame
+        track_fn = make_sequential_fn(cfg, steps=args.refine_steps,
+                                      lr=args.lr, warm=getattr(args, 'warm_alpha', 0.5))
+        t0 = time.time()
+        coeff_fit, seq_losses = track_fn(
+            jnp.asarray(coeff0), bfm, jnp.asarray(frames),
+            jnp.asarray(gt_lmk))
+        jax.block_until_ready(coeff_fit)
+        elapsed = time.time() - t0
+        coeff_fit = np.asarray(coeff_fit)
+        losses = np.asarray(seq_losses)[:, -1]   # final loss per frame
+        tp = _decompose(jnp.asarray(coeff_fit), cfg)
+        n_dev = 1
+    else:
+        # stage 2: joint refinement, frames sharded over the mesh
+        mesh = pmesh.make_mesh()
+        n_dev = len(mesh.devices.reshape(-1))
+        frames_j, lmk_j = jnp.asarray(frames), jnp.asarray(gt_lmk)
+        tp0 = _decompose(jnp.asarray(coeff0), cfg)
+        if n_dev > 1 and args.frames % n_dev == 0:
+            frames_j, lmk_j = pmesh.shard_batch(mesh, (frames_j, lmk_j))
+            tp0 = TrackParams(
+                shared_id=pmesh.replicate(mesh, tp0.shared_id),
+                shared_tex=pmesh.replicate(mesh, tp0.shared_tex),
+                per_frame=pmesh.shard_batch(mesh, tp0.per_frame))
 
-    refine = make_refine_fn(cfg, steps=args.refine_steps, lr=args.lr)
-    t0 = time.time()
-    tp, losses = refine(tp0, bfm, frames_j, lmk_j)
-    jax.block_until_ready(tp.shared_id)
-    elapsed = time.time() - t0
-
-    coeff_fit = np.asarray(_assemble(tp, cfg))
+        refine = make_refine_fn(cfg, steps=args.refine_steps, lr=args.lr)
+        t0 = time.time()
+        tp, losses = refine(tp0, bfm, frames_j, lmk_j)
+        jax.block_until_ready(tp.shared_id)
+        elapsed = time.time() - t0
+        coeff_fit = np.asarray(_assemble(tp, cfg))
     tracked, _ = render_batch(coeff_fit, bfm, cfg)
     out = render_coeffs(split_coeff(jnp.asarray(coeff_fit), cfg), bfm, cfg)
+    # per-frame geometry recovery vs the ground-truth sequence. NB: with
+    # synthetic random-orthonormal bases, identity COEFFICIENTS are not
+    # identifiable (the id and exp spans alias, and per-frame exp can
+    # absorb any shared deformation) — the recovered SHAPE is the
+    # meaningful metric; id_err is reported for information only.
+    from facerecon_tpu.ops.geometry import coeffs_to_geometry
+    gt_geom = coeffs_to_geometry(split_coeff(jnp.asarray(seq), cfg), bfm,
+                                 cfg)
+    vertex_mae = float(jnp.abs(out.geometry.verts_world
+                               - gt_geom.verts_world).mean())
     report = {
         "frames": args.frames, "devices": n_dev,
         "refine_s": elapsed,
@@ -153,6 +221,7 @@ def run(args) -> dict:
         "psnr_db": psnr(tracked, frames),
         "landmark_rmse_px": landmark_rmse(
             np.asarray(out.geometry.landmarks2d), gt_lmk),
+        "vertex_mae": vertex_mae,
         "id_err": float(np.abs(np.asarray(tp.shared_id)
                                - base[:cfg.n_id]).mean()),
     }
@@ -165,6 +234,13 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--refine-steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--ckpt", default=None,
+                   help="trained CNN checkpoint for stage-1 regression")
+    p.add_argument("--sequential", action="store_true",
+                   help="online per-frame fit warm-started from the "
+                        "previous frame (instead of the joint solve)")
+    p.add_argument("--warm-alpha", type=float, default=0.5,
+                   help="sequential mode: CNN vs previous-frame blend")
     p.add_argument("--bfm", default=None)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=0)

@@ -127,9 +127,18 @@ def run(args) -> dict:
             print(f"tensorboard writer unavailable: {e}")
 
     from facerecon_tpu.data.feeder import prefetch
-    data = prefetch(
-        synthetic_batches(pipe.bfm, cfg, cfg.batch_size, seed=args.seed + 1),
-        depth=2)
+    if getattr(args, "data_dir", None):
+        # real-data ingestion (SURVEY.md C18): folder of (image, landmark)
+        # pairs, aligned on the host
+        from facerecon_tpu.data.folder import FolderDataset
+        ds = FolderDataset(args.data_dir, cfg,
+                           align=getattr(args, "align", "68pt"),
+                           assets=assets)
+        source = ds.batches(cfg.batch_size, seed=args.seed + 1)
+    else:
+        source = synthetic_batches(pipe.bfm, cfg, cfg.batch_size,
+                                   seed=args.seed + 1)
+    data = prefetch(source, depth=2)
     t0 = time.time()
     first_loss = last_loss = None
     for i in range(args.steps):
@@ -177,6 +186,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--data-dir", default=None,
+                   help="folder of (image, 68-landmark) pairs; omit for "
+                        "the synthetic source")
+    p.add_argument("--align", default="68pt",
+                   choices=("5pt", "68pt", "none"),
+                   help="alignment mode for --data-dir images")
     p.add_argument("--bfm", default=None)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--resume", action="store_true")

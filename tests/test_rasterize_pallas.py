@@ -124,9 +124,9 @@ def test_fused_select_matches_gather_path(cfg, assets, rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(bary_f), np.asarray(bary_r),
                                atol=1e-4)
-    # background pixels must select the zero record
+    # background pixels must select the zero record (sel is field-major)
     bg = np.asarray(tid) < 0
-    assert np.all(np.asarray(sel)[bg] == 0.0)
+    assert np.all(np.moveaxis(np.asarray(sel), 1, -1)[bg] == 0.0)
 
 
 def test_fused_select_vjp_is_scatter_add(cfg, assets, rng):
@@ -147,6 +147,7 @@ def test_fused_select_vjp_is_scatter_add(cfg, assets, rng):
     def f(r):
         out = RP.rasterize_select(r, geom.verts_ndc, bfm.faces, h, w,
                                   cfg.tile_h)[1]
+        out = jnp.transpose(out, (0, 2, 3, 1))     # field-major -> minor
         rad = out[..., 0:9] + out[..., 9:18]       # reconstructed radiance
         scr = out[..., 36:42] + out[..., 42:48]    # reconstructed corners
         return jnp.sum(jnp.concatenate([rad, scr], -1) * g15)

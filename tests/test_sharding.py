@@ -39,6 +39,25 @@ def test_sharded_render_equals_single_device(cfg, assets, mesh):
     np.testing.assert_allclose(lmk_shard, lmk_single, rtol=1e-5, atol=1e-4)
 
 
+def test_sharded_render_512_equals_single(mesh):
+    """Config-5 at full 512x512 resolution (BASELINE "batch-256 512x512
+    rendering sharded"): frame-sharded rendering == single-device, on the
+    tiny mesh so the CPU oracle-scale cost stays bounded."""
+    cfg512 = tiny_config(image_size=512, focal=1015.0 * 512 / 224.0,
+                         tile_h=1)
+    assets = synthetic_bfm(cfg512, seed=0)
+    bfm = device_bfm(assets)
+    coeff = sample_coeffs(np.random.default_rng(4), cfg512, 8)
+    img_single, lmk_single = render_batch(coeff, bfm, cfg512)
+    assert img_single.shape == (8, 512, 512, 3)
+
+    bfm_r = pmesh.replicate(mesh, bfm)
+    coeff_s = pmesh.shard_batch(mesh, jnp.asarray(coeff))
+    img_shard, lmk_shard = render_batch(np.asarray(coeff_s), bfm_r, cfg512)
+    np.testing.assert_allclose(img_shard, img_single, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(lmk_shard, lmk_single, rtol=1e-5, atol=1e-4)
+
+
 def test_sharded_train_step_matches_single_device(cfg, assets, mesh):
     """DP gradient all-reduce (XLA psum) must reproduce the single-device
     update exactly (same batch, deterministic math)."""
