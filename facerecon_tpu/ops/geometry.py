@@ -8,6 +8,7 @@ is bitwise-closeness to a CPU oracle (SURVEY.md §7), so no bf16 here.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -32,6 +33,8 @@ class DeviceBFM(NamedTuple):
     landmark_index: jnp.ndarray  # (68,) int32
     skin_mask: jnp.ndarray       # (N,) f32
     vertex_face_adj: jnp.ndarray  # (N, deg_max) int32, F = pad sentinel
+    vertex_corner_adj: jnp.ndarray  # (N, deg_max) int32, 3F = pad
+    face_adj_slot: jnp.ndarray   # (F, 3) int32 flat v*deg_max+rank
 
 
 def device_bfm(assets) -> DeviceBFM:
@@ -119,7 +122,68 @@ def to_ndc(verts, cfg: FaceReconConfig) -> jnp.ndarray:
 
 # --- C6: vertex normals (area-weighted, SURVEY.md §9.4) ---
 
-def compute_norm(verts, faces, n_vertices: int, adj=None) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def take_corners(per_vert, faces_flat, corner_adj, n_out: int):
+    """Gather per-vertex rows to per-face-corner rows with a GATHER-based
+    adjoint: jnp.take's natural backward is a scatter-add, which runs at
+    ~element/cycle on TPU and dominated the training backward. The mesh
+    adjacency is fixed, so the adjoint is itself a gather: each vertex sums
+    the cotangents of its incident corners via vertex_corner_adj
+    (utils.bfm.vertex_face_adjacency with_corners=True)."""
+    del corner_adj, n_out
+    return jnp.take(per_vert, faces_flat, axis=-2)
+
+
+def _tc_fwd(per_vert, faces_flat, corner_adj, n_out):
+    return (take_corners(per_vert, faces_flat, corner_adj, n_out),
+            (corner_adj, per_vert.shape))
+
+
+def _tc_bwd(n_out, res, g):
+    corner_adj, vshape = res
+    n_vertices, deg = vshape[-2], corner_adj.shape[1]
+    pad_shape = list(g.shape)
+    pad_shape[-2] = 1
+    g_pad = jnp.concatenate([g, jnp.zeros(pad_shape, g.dtype)], axis=-2)
+    picked = jnp.take(g_pad, corner_adj.reshape(-1), axis=-2)
+    picked = picked.reshape(*g.shape[:-2], n_vertices, deg, g.shape[-1])
+    return picked.sum(axis=-2), None, None
+
+
+take_corners.defvjp(_tc_fwd, _tc_bwd)
+
+
+@jax.custom_vjp
+def _accumulate_face_normals(face_n, adj, faces):
+    """Sum each vertex's adjacent face normals by GATHER, with a
+    gather-based backward too: d face_n[f] = sum_k g[faces[f, k]] — each
+    face corner reads its vertex's cotangent (no scatter)."""
+    n_vertices = adj.shape[0]
+    pad_shape = list(face_n.shape)
+    pad_shape[-2] = 1
+    face_n_pad = jnp.concatenate(
+        [face_n, jnp.zeros(pad_shape, face_n.dtype)], axis=-2)
+    gathered = jnp.take(face_n_pad, adj.reshape(-1), axis=-2)
+    gathered = gathered.reshape(
+        *face_n.shape[:-2], n_vertices, adj.shape[1], 3)
+    return jnp.sum(gathered, axis=-2)
+
+
+def _afn_fwd(face_n, adj, faces):
+    return _accumulate_face_normals(face_n, adj, faces), faces
+
+
+def _afn_bwd(faces, g):
+    picked = jnp.take(g, faces.reshape(-1), axis=-2)
+    picked = picked.reshape(*g.shape[:-2], faces.shape[0], 3, 3)
+    return picked.sum(axis=-2), None, None
+
+
+_accumulate_face_normals.defvjp(_afn_fwd, _afn_bwd)
+
+
+def compute_norm(verts, faces, n_vertices: int, adj=None,
+                 corner_adj=None) -> jnp.ndarray:
     """Per-vertex normals: area-weighted face normals summed per vertex.
 
     With `adj` (precomputed (N, deg_max) vertex->face adjacency, padded with
@@ -128,12 +192,21 @@ def compute_norm(verts, faces, n_vertices: int, adj=None) -> jnp.ndarray:
     segment_sum fallback is used (arbitrary meshes at load time get
     adjacency from utils.bfm.vertex_face_adjacency anyway).
     """
-    v0 = jnp.take(verts, faces[:, 0], axis=-2)
-    v1 = jnp.take(verts, faces[:, 1], axis=-2)
-    v2 = jnp.take(verts, faces[:, 2], axis=-2)
+    if corner_adj is not None:
+        # scatter-free corner gather (incl. its backward)
+        corners = take_corners(verts, faces.reshape(-1), corner_adj,
+                               3 * faces.shape[0])
+        corners = corners.reshape(*verts.shape[:-2], faces.shape[0], 3, 3)
+        v0, v1, v2 = (corners[..., 0, :], corners[..., 1, :],
+                      corners[..., 2, :])
+    else:
+        v0 = jnp.take(verts, faces[:, 0], axis=-2)
+        v1 = jnp.take(verts, faces[:, 1], axis=-2)
+        v2 = jnp.take(verts, faces[:, 2], axis=-2)
     face_n = jnp.cross(v1 - v0, v2 - v0)  # area-weighted (not normalized)
-    if adj is not None:
-        # pad a zero row at index F (the adjacency pad sentinel)
+    if adj is not None and corner_adj is not None:
+        vert_n = _accumulate_face_normals(face_n, adj, faces)
+    elif adj is not None:
         pad_shape = list(face_n.shape)
         pad_shape[-2] = 1
         face_n_pad = jnp.concatenate(
@@ -180,7 +253,8 @@ def coeffs_to_geometry(c: Coeffs, bfm: DeviceBFM,
     n_vertices = shape.shape[-2]
     # normals rotate with the mesh: compute in canonical frame, rotate
     normals = compute_norm(shape, bfm.faces, n_vertices,
-                           adj=bfm.vertex_face_adj)
+                           adj=bfm.vertex_face_adj,
+                           corner_adj=bfm.vertex_corner_adj)
     normals = jnp.einsum("bni,bji->bnj", normals, rot, precision=_F32)
     return Geometry(
         shape=shape,

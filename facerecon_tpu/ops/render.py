@@ -67,7 +67,8 @@ def barycentric_from_id(tri_id, verts_ndc, faces, height: int, width: int):
     e0, e1, e2 = edge(p1, p2), edge(p2, p0), edge(p0, p1)
     area = ((p1[..., 0] - p0[..., 0]) * (p2[..., 1] - p0[..., 1])
             - (p1[..., 1] - p0[..., 1]) * (p2[..., 0] - p0[..., 0]))
-    inv_area = jnp.where(area == 0, 0.0, 1.0 / area)
+    area_safe = jnp.where(area == 0.0, 1.0, area)    # NaN-safe grad
+    inv_area = jnp.where(area == 0.0, 0.0, 1.0 / area_safe)
     bary = jnp.stack([e0, e1, e2], axis=-1) * inv_area[..., None]
     return jnp.where((tri_id >= 0)[..., None], bary, 0.0)
 
@@ -84,12 +85,21 @@ def interpolate(tri_id, bary, faces, attrs):
 
 
 def _pack_render_records(verts_ndc, radiance, faces, height: int,
-                         width: int, pad_rows: int):
-    """Per-face [radiance corners (9) | screen corners (6) | pad] -> (B, pad_rows, 16)."""
+                         width: int, pad_rows: int, corner_adj=None):
+    """Per-face [radiance corners (9) | screen corners (6) | pad] -> (B, pad_rows, 16).
+
+    With corner_adj, the per-corner gather uses the scatter-free adjoint
+    (geometry.take_corners) — the plain take's backward scatter was a
+    large share of the training step."""
     screen = rasterize_jnp.ndc_to_screen(verts_ndc, height, width)  # (B,N,2)
     b = radiance.shape[0]
     per_vert = jnp.concatenate([radiance, screen], axis=-1)   # (B, N, 5)
-    corners = jnp.take(per_vert, faces.reshape(-1), axis=1)   # (B, 3F, 5)
+    if corner_adj is not None:
+        from facerecon_tpu.ops.geometry import take_corners
+        corners = take_corners(per_vert, faces.reshape(-1), corner_adj,
+                               3 * faces.shape[0])
+    else:
+        corners = jnp.take(per_vert, faces.reshape(-1), axis=1)  # (B,3F,5)
     corners = corners.reshape(b, -1, 3, 5)
     rad = corners[..., 0:3].reshape(b, -1, 9)
     scr = corners[..., 3:5].reshape(b, -1, 6)
@@ -142,7 +152,12 @@ def _shade_from_sel(tri_id, sel, height: int, width: int):
     e0 = edge(x1, y1, x2, y2)
     e1 = edge(x2, y2, x0, y0)
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-    inv_area = jnp.where(area == 0, 0.0, 1.0 / area)
+    # safe reciprocal: 1/area evaluated at area==0 yields inf and its
+    # GRADIENT is NaN even when where() discards the value (0 * inf);
+    # the 16-bit corner split can cancel a ~1px triangle's area to exactly
+    # 0 at a covered pixel, which NaN'd training. where-guard the operand.
+    area_safe = jnp.where(area == 0.0, 1.0, area)
+    inv_area = jnp.where(area == 0.0, 0.0, 1.0 / area_safe)
     w0_g, w1_g = e0 * inv_area, e1 * inv_area
 
     # straight-through: forward = precise affine bary, gradient = corners
@@ -202,7 +217,8 @@ def shade_packed(tri_id, verts_ndc, radiance, faces, height: int,
     e0 = edge(x1, y1, x2, y2)
     e1 = edge(x2, y2, x0, y0)
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-    inv_area = jnp.where(area == 0, 0.0, 1.0 / area)
+    area_safe = jnp.where(area == 0.0, 1.0, area)    # NaN-safe grad
+    inv_area = jnp.where(area == 0.0, 0.0, 1.0 / area_safe)
     w0, w1 = e0 * inv_area, e1 * inv_area
     hit = (tri_id >= 0)[..., None]
     bary = jnp.where(hit, jnp.stack([w0, w1, 1.0 - w0 - w1], axis=-1), 0.0)
@@ -233,6 +249,9 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
         # select (dynamic per-pixel gathers are the slowest stage on TPU;
         # fusing the select into the raster kernel shares the candidate
         # window DMA and kills the second kernel's per-band fixed cost)
+        # NB: the corner-adjacency gather adjoint measured SLOWER than the
+        # plain take's scatter here (narrow 5-wide rows gather at ~element
+        # rate) — keep the default backward
         records = _pack_render_records(
             geom.verts_ndc, radiance, bfm.faces, h, w,
             rasterize_pallas.padded_rows(bfm.faces.shape[0]))

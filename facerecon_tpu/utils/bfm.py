@@ -41,6 +41,11 @@ class BFMAssets:
     landmark_index: np.ndarray  # (68,) int32
     skin_mask: np.ndarray       # (N,) f32 in [0,1]
     vertex_face_adj: np.ndarray # (N, deg_max) int32, F = padding sentinel
+    vertex_corner_adj: np.ndarray  # (N, deg_max) int32, 3F = pad: flat
+                                   # (face*3+slot) corner ids per vertex
+    face_adj_slot: np.ndarray   # (F, 3) int32: flat (v*deg_max + rank)
+                                # position of each face corner in the
+                                # vertex adjacency table
 
     @property
     def n_vertices(self) -> int:
@@ -62,7 +67,8 @@ def load_npz(path: str) -> BFMAssets:
 
 
 def vertex_face_adjacency(faces: np.ndarray, n_vertices: int,
-                          deg_cap: int | None = None) -> np.ndarray:
+                          deg_cap: int | None = None,
+                          with_corners: bool = False):
     """(N, deg_max) face ids adjacent to each vertex; padded with F.
 
     Converts the per-frame normals scatter (segment_sum, slow on TPU) into a
@@ -71,6 +77,14 @@ def vertex_face_adjacency(faces: np.ndarray, n_vertices: int,
     faces (matching the oracle's segment_sum exactly); pass deg_cap only to
     bound gather cost on meshes with a pathological-degree vertex, in which
     case truncation is reported loudly rather than silently.
+
+    with_corners=True additionally returns:
+      vertex_corner_adj (N, deg_max): flat face*3+slot corner ids (pad 3F)
+        — the gather that replaces the render-record pack's backward
+        scatter;
+      face_adj_slot (F, 3): each corner's flat v*deg_max+rank position in
+        the adjacency table — the gather that replaces the normals
+        accumulation's backward scatter.
     """
     f = faces.shape[0]
     v = faces.reshape(-1).astype(np.int64)        # (3F,)
@@ -92,7 +106,15 @@ def vertex_face_adjacency(faces: np.ndarray, n_vertices: int,
     keep = rank < deg_max
     adj = np.full((n_vertices, deg_max), f, dtype=np.int32)
     adj[v_s[keep], rank[keep]] = f_s[keep].astype(np.int32)
-    return adj
+    if not with_corners:
+        return adj
+    corner_ids = order  # corner flat index (face*3+slot) sorted like v_s
+    corner_adj = np.full((n_vertices, deg_max), 3 * f, dtype=np.int32)
+    corner_adj[v_s[keep], rank[keep]] = corner_ids[keep].astype(np.int32)
+    face_slot = np.zeros((f, 3), dtype=np.int32)
+    face_slot.reshape(-1)[corner_ids[keep]] = (
+        v_s[keep] * deg_max + rank[keep]).astype(np.int32)
+    return adj, corner_adj, face_slot
 
 
 def _grid_dims(n_target: int) -> tuple[int, int]:
@@ -170,9 +192,12 @@ def synthetic_bfm(cfg: FaceReconConfig, seed: int = 0) -> BFMAssets:
         lat_g - lat[0], lat[-1] - lat_g, lon_g - lon[0], lon[-1] - lon_g])
     skin_mask = np.clip(rim.reshape(n) / 0.2, 0.0, 1.0).astype(np.float32)
 
+    adj, corner_adj, face_slot = vertex_face_adjacency(
+        faces, n, with_corners=True)
     return BFMAssets(
         mean_shape=mean_shape, id_basis=id_basis, exp_basis=exp_basis,
         mean_tex=mean_tex, tex_basis=tex_basis,
         sigma_id=sigma_id, sigma_exp=sigma_exp, sigma_tex=sigma_tex,
         faces=faces, landmark_index=landmark_index, skin_mask=skin_mask,
-        vertex_face_adj=vertex_face_adjacency(faces, n))
+        vertex_face_adj=adj, vertex_corner_adj=corner_adj,
+        face_adj_slot=face_slot)
