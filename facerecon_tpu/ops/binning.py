@@ -47,6 +47,38 @@ class TriSetup(NamedTuple):
     band_hi: jnp.ndarray     # (n_bands,) int32 slice ends
 
 
+def affine_forms(p0, p1, p2, dead=None):
+    """Vertex-0-anchored barycentric affine forms from screen corners.
+
+    p0/p1/p2 (..., 2) screen positions -> (wa0, wb0, wc0, wa1, wb1, wc1)
+    with w0(q) = wa0 qx + wb0 qy + wc0 evaluated at q = pixel - p0.
+    Shared by the rasterizer setup AND the differentiable render-record
+    pack (same float ops -> identical forward values). Differentiable:
+    the degenerate-area reciprocal is operand-guarded (d(1/area) at 0 is
+    inf, and a where() alone still NaNs the gradient).
+    """
+    u1 = p1[..., 0] - p0[..., 0]
+    v1 = p1[..., 1] - p0[..., 1]
+    u2 = p2[..., 0] - p0[..., 0]
+    v2 = p2[..., 1] - p0[..., 1]
+    area = u1 * v2 - v1 * u2
+    dead_a = jnp.abs(area) <= 1e-12
+    if dead is not None:
+        dead_a = dead_a | dead
+    inv_area = jnp.where(dead_a, 0.0,
+                         1.0 / jnp.where(dead_a, 1.0, area))
+    # anchored edge functions of q = p - v0:
+    # e0 (opposite v0, edge p1->p2) = (u2-u1)(qy-v1) - (v2-v1)(qx-u1)
+    wa0 = (v1 - v2) * inv_area
+    wb0 = (u2 - u1) * inv_area
+    wc0 = (u1 * v2 - u2 * v1) * inv_area   # = 1.0 up to rounding
+    # e1 (opposite v1, edge p2->v0): passes through the anchor -> no constant
+    wa1 = v2 * inv_area
+    wb1 = -u2 * inv_area
+    wc1 = jnp.zeros_like(wa1)
+    return wa0, wb0, wc0, wa1, wb1, wc1, area
+
+
 def triangle_setup(verts_ndc, faces, height: int, width: int,
                    cull_backfaces: bool = False, with_x: bool = False):
     """Per-triangle affine coefficients + extents. Unsorted.
@@ -64,7 +96,6 @@ def triangle_setup(verts_ndc, faces, height: int, width: int,
     z2 = jnp.take(depth, faces[:, 2], axis=0)
 
     x0, y0 = p0[:, 0], p0[:, 1]
-    # vertex-0-anchored coordinates: O(triangle-size) magnitudes
     u1 = p1[:, 0] - x0
     v1 = p1[:, 1] - y0
     u2 = p2[:, 0] - x0
@@ -77,17 +108,9 @@ def triangle_setup(verts_ndc, faces, height: int, width: int,
         # front faces are CCW in world (+z toward camera); the y-down screen
         # flip makes them negative-area in screen space
         dead = dead | (area > 0)
-    inv_area = jnp.where(dead, 0.0, 1.0 / jnp.where(dead, 1.0, area))
 
-    # anchored edge functions of q = p - v0:
-    # e0 (opposite v0, edge p1->p2) = (u2-u1)(qy-v1) - (v2-v1)(qx-u1)
-    wa0 = (v1 - v2) * inv_area
-    wb0 = (u2 - u1) * inv_area
-    wc0 = (u1 * v2 - u2 * v1) * inv_area   # = 1.0 up to rounding
-    # e1 (opposite v1, edge p2->v0): passes through the anchor -> no constant
-    wa1 = v2 * inv_area
-    wb1 = -u2 * inv_area
-    wc1 = jnp.zeros_like(wa1)
+    wa0, wb0, wc0, wa1, wb1, wc1, _ = affine_forms(
+        p0, p1, p2, dead=dead)
     # depth affine in q: z(0) = z0 exactly at the anchor
     za = wa0 * (z0 - z2) + wa1 * (z1 - z2)
     zb = wb0 * (z0 - z2) + wb1 * (z1 - z2)

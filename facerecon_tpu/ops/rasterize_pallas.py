@@ -56,7 +56,7 @@ _WINDOW = 16            # groups per DMA window (= 128 chunks, 1 MB scratch)
 _HEAD = 2               # groups in the eager head DMA (covers typical bands)
 _MID = 2                # groups in the second eager DMA (gn in (2,4])
 _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
-_FIELDS = 16            # caller-facing render-attribute record width
+_FIELDS = 24            # caller-facing render-attribute record width
 _RFIELDS = 48           # pre-split select record width (see _split_records)
 _OUT_F = 56             # packed bf16 output row: sel 48 | pos 3 | z 2 | pad
 
@@ -265,8 +265,12 @@ def _kernel(glo_ref, gn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
     p1 = ((posu >> 8) & 255).astype(jnp.bfloat16)
     p2 = (posu >> 16).astype(jnp.bfloat16)
     zsafe = jnp.where(posbest >= 0, zbest, 0.0)
-    zhi = zsafe.astype(jnp.bfloat16)
-    zlo = (zsafe - zhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    zhi_f = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(zsafe, jnp.uint32)
+        & jnp.uint32(0xFFFF0000), jnp.float32)     # opaque truncation —
+    # x - f32(bf16(x)) folds to 0 under --xla_allow_excess_precision
+    zhi = zhi_f.astype(jnp.bfloat16)
+    zlo = (zsafe - zhi_f).astype(jnp.bfloat16)
     packed_ref[0, 0] = jnp.concatenate(
         [acc.astype(jnp.bfloat16), p0, p1, p2, zhi, zlo,
          jnp.zeros((band_px, _OUT_F - _RFIELDS - 5), jnp.bfloat16)],
@@ -293,43 +297,59 @@ def _group_layout(arr_flat):
     return a.transpose(0, 1, 4, 2, 3).reshape(bsz, ngrp, fields, _GLANES)
 
 
+def _trunc_bf16(x):
+    """Truncate an f32 to its top 16 bits (an exactly-bf16-representable
+    f32) via OPAQUE integer ops. The obvious `x - f32(bf16(x))` is NOT
+    safe here: this environment compiles with
+    --xla_allow_excess_precision=true, which lets XLA treat intermediate
+    bf16 casts as value-preserving and fold the residual to zero —
+    silently collapsing every split to its first 8-bit part (render PSNR
+    dropped 96 -> 30 dB before this was bit-masked)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        b & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
 def _split2(x):
-    """f32 -> (hi, lo) bf16 parts with x == f32(hi) + f32(lo) to 16
+    """f32 -> (hi, lo) bf16 parts with x == f32(hi) + f32(lo) to >=16
     significand bits; each part is EXACTLY representable in bf16, so a
     single bf16 MXU pass reads it without rounding."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    hi = _trunc_bf16(x)
+    lo = x - hi                       # exact; <= 16 significand bits left
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
 def _split3(x):
-    """f32 -> 3 bf16 parts (24 significand bits ~= full f32)."""
-    p0 = x.astype(jnp.bfloat16)
-    r = x - p0.astype(jnp.float32)
-    p1 = r.astype(jnp.bfloat16)
-    p2 = (r - p1.astype(jnp.float32)).astype(jnp.bfloat16)
-    return p0, p1, p2
+    """f32 -> 3 bf16 parts (8+8+8 truncated bits + final rounding = full
+    f32 significand; reconstruction by plain f32 summation is exact)."""
+    p0 = _trunc_bf16(x)
+    r = x - p0
+    p1 = _trunc_bf16(r)
+    p2 = r - p1                       # <= 8 significand bits: exact in bf16
+    return (p0.astype(jnp.bfloat16), p1.astype(jnp.bfloat16),
+            p2.astype(jnp.bfloat16))
 
 
-def _split_records(records, coeffs):
-    """Build the (B, rows, 48) bf16 pre-split select record.
+def _split_records(records):
+    """Build the (B, rows, 48) bf16 pre-split select record from the
+    24-wide differentiable attribute record (_pack_render_records).
 
     Layout (all parts exactly bf16; reconstruction is a plain f32 sum):
-      0:9    radiance corner hi     9:18   radiance corner lo
-      18:24  affine w-coeff hi      24:30  affine w-coeff lo
-             (wa0, wb0, wc0, wa1, wb1, wc1 — O(1) anchored values)
-      30:33  anchor x0 in 3 parts   33:36  anchor y0 in 3 parts
-      36:42  screen corner hi       42:48  screen corner lo
-             (differentiable dL/dV_xy path; 16-bit is gradient-only —
-              the forward barycentrics come from the affine fields)
+      0:9    radiance corner hi    9:18   radiance corner lo (16-bit)
+      18:24  affine w-coeff p0     24:30  p1     30:36  p2
+             (wa0, wb0, wc0, wa1, wb1, wc1 at FULL f32 — 3x8 = 24
+              significand bits; sliver triangles have O(1/area)
+              coefficients, so 16 bits exploded their barycentrics)
+      36:39  anchor x0 in 3 parts  39:42  anchor y0 in 3 parts
+      42:48  pad
     """
     rad_hi, rad_lo = _split2(records[..., 0:9])
-    w_hi, w_lo = _split2(coeffs[..., 0:6])
-    x0 = _split3(coeffs[..., 9:10])
-    y0 = _split3(coeffs[..., 10:11])
-    scr_hi, scr_lo = _split2(records[..., 9:15])
+    w0p, w1p, w2p = _split3(records[..., 9:15])
+    x0 = _split3(records[..., 15:16])
+    y0 = _split3(records[..., 16:17])
+    pad = jnp.zeros((*records.shape[:-1], 6), jnp.bfloat16)
     return jnp.concatenate(
-        [rad_hi, rad_lo, w_hi, w_lo, *x0, *y0, scr_hi, scr_lo], axis=-1)
+        [rad_hi, rad_lo, w0p, w1p, w2p, *x0, *y0, pad], axis=-1)
 
 
 def _band_windows(verts_ndc, faces, height, width, tile_h, tile_w,
@@ -422,7 +442,7 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
     static_argnames=("height", "width", "tile_h", "cull_backfaces"))
 def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
                 tile_h: int, cull_backfaces: bool = False):
-    """Forward of the fused raster+select: records (B,rows,16) differentiable
+    """Forward of the fused raster+select: records (B,rows,24) differentiable
     render attributes in face order (rows = padded_rows(F)), verts_ndc
     non-differentiable positions -> (tri_id (B,H,W), sel (B,H,W,48)
     pre-split winner record, zbuf (B,H,W))."""
@@ -434,7 +454,7 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
     glo, gn, coeffs = _band_windows(verts_ndc, faces, height, width,
                                     tile_h, tile_w, cull_backfaces)
     setup_g = _group_layout(coeffs)
-    rec_g = _group_layout(_split_records(records, coeffs))
+    rec_g = _group_layout(_split_records(records))
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
@@ -489,8 +509,9 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
 def rasterize_select(records, verts_ndc, faces, height: int, width: int,
                      tile_h: int, cull_backfaces: bool = False):
     """Fused hard-visibility + per-pixel record select (the TPU render hot
-    path): records (B, padded_rows(F), 16) render attributes [radiance
-    corners 9 | screen corners 6 | pad] -> (tri_id, sel (B,48,H,W), zbuf),
+    path): records (B, padded_rows(F), 24) render attributes [radiance
+    corners 9 | affine w-coeffs 6 | anchor 2 | pad] -> (tri_id,
+    sel (B,48,H,W), zbuf),
     where sel is the winner's pre-split record, FIELD-MAJOR so per-field
     reads slice on the W-minor axis (_split_records layout; ops/render.py
     reconstructs radiance/barycentrics/corners from it).
@@ -545,9 +566,12 @@ def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, out_ref, scr_pos, scr_g,
         dg.wait()
         # pixel winners of this band vs this group's triangle rows
         onehot_t = (scr_pos[...] == tri_i).astype(jnp.bfloat16)
-        gt = scr_g[...]                         # (48 fields, band_px) f32
-        hi_p = gt.astype(jnp.bfloat16)
-        lo_p = (gt - hi_p.astype(jnp.float32)).astype(jnp.bfloat16)
+        gt = scr_g[...]                         # (fields, band_px) f32
+        hi_f = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(gt, jnp.uint32)
+            & jnp.uint32(0xFFFF0000), jnp.float32)   # opaque truncation
+        hi_p = hi_f.astype(jnp.bfloat16)
+        lo_p = (gt - hi_f).astype(jnp.bfloat16)
         for part in (hi_p, lo_p):               # 16-bit gradient precision
             acc = acc + jax.lax.dot_general(
                 part, onehot_t, (((1,), (1,)), ((), ())),
@@ -571,15 +595,19 @@ def _select_grad(pos, g_sel, glo, gn, *, rows: int, height: int, width: int,
     n_bands = (height + tile_h - 1) // tile_h
     ngrp = rows // _GLANES
 
-    # gather the differentiable cotangent fields into the 16-wide attribute
-    # layout: [rad (from lo 9:18) | corners (from lo 42:48) | 0]
-    g16 = jnp.concatenate(
-        [g_sel[:, 9:18], g_sel[:, 42:48],
-         jnp.zeros_like(g_sel[:, :1])], axis=1)          # (B, 16, H, W)
+    # gather the differentiable cotangent fields into the 24-wide
+    # attribute layout. In an exact multi-part split x = p0 + ... + pk,
+    # every part but the LAST is a staircase of x (zero derivative a.e.),
+    # so the last part's cotangent is the cotangent of x.
+    g24 = jnp.concatenate(
+        [g_sel[:, 9:18],                   # radiance (lo part)
+         g_sel[:, 30:36],                  # w-coeffs (p2)
+         g_sel[:, 38:39], g_sel[:, 41:42],  # anchors x0, y0 (p2)
+         jnp.zeros_like(g_sel[:, :7])], axis=1)          # (B, 24, H, W)
     pad_h = n_bands * tile_h - height
     pad_w = tile_w - width
-    g16 = jnp.pad(g16, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
-    g_b = g16.reshape(bsz, _FIELDS, n_bands, band_px)
+    g24 = jnp.pad(g24, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
+    g_b = g24.reshape(bsz, _FIELDS, n_bands, band_px)
     g_b = jnp.transpose(g_b, (0, 2, 1, 3))               # (B, nb, 16, band_px)
     pos_p = jnp.pad(pos, ((0, 0), (0, pad_h), (0, pad_w)),
                     constant_values=-1)

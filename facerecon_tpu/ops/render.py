@@ -85,26 +85,33 @@ def interpolate(tri_id, bary, faces, attrs):
 
 
 def _pack_render_records(verts_ndc, radiance, faces, height: int,
-                         width: int, pad_rows: int, corner_adj=None):
-    """Per-face [radiance corners (9) | screen corners (6) | pad] -> (B, pad_rows, 16).
+                         width: int, pad_rows: int):
+    """Per-face differentiable render attributes -> (B, pad_rows, 24):
+    [radiance corners 9 | anchored affine w-coefficients 6 | anchor x0,y0
+    | pad 7].
 
-    With corner_adj, the per-corner gather uses the scatter-free adjoint
-    (geometry.take_corners) — the plain take's backward scatter was a
-    large share of the training step."""
+    The affine coefficients are computed HERE, from the differentiable
+    vertex positions, with the same float ops as the rasterizer's setup
+    (ops/binning.affine_forms) — so the per-pixel barycentrics
+    reconstructed from the selected record equal the rasterizer's exactly
+    AND carry dL/dV_xy without any corner-recompute detour. (An earlier
+    corner-based record quantized the affine forms to 16 bits, which
+    exploded barycentrics on sliver triangles whose coefficients are
+    O(1/area).)"""
+    from facerecon_tpu.ops.binning import affine_forms
     screen = rasterize_jnp.ndc_to_screen(verts_ndc, height, width)  # (B,N,2)
     b = radiance.shape[0]
     per_vert = jnp.concatenate([radiance, screen], axis=-1)   # (B, N, 5)
-    if corner_adj is not None:
-        from facerecon_tpu.ops.geometry import take_corners
-        corners = take_corners(per_vert, faces.reshape(-1), corner_adj,
-                               3 * faces.shape[0])
-    else:
-        corners = jnp.take(per_vert, faces.reshape(-1), axis=1)  # (B,3F,5)
+    corners = jnp.take(per_vert, faces.reshape(-1), axis=1)   # (B, 3F, 5)
     corners = corners.reshape(b, -1, 3, 5)
     rad = corners[..., 0:3].reshape(b, -1, 9)
-    scr = corners[..., 3:5].reshape(b, -1, 6)
+    p0 = corners[..., 0, 3:5]
+    p1 = corners[..., 1, 3:5]
+    p2 = corners[..., 2, 3:5]
+    wa0, wb0, wc0, wa1, wb1, wc1, _ = affine_forms(p0, p1, p2)
     rec = jnp.concatenate(
-        [rad, scr, jnp.zeros((b, rad.shape[1], 1), rad.dtype)], axis=-1)
+        [rad, jnp.stack([wa0, wb0, wc0, wa1, wb1, wc1], axis=-1), p0,
+         jnp.zeros((b, rad.shape[1], 7), rad.dtype)], axis=-1)
     return jnp.pad(rec, ((0, 0), (0, pad_rows - rec.shape[1]), (0, 0)))
 
 
@@ -112,13 +119,12 @@ def _shade_from_sel(tri_id, sel, height: int, width: int):
     """Shade from the kernel's pre-split winner record, FIELD-MAJOR
     (B,48,H,W) — layout in rasterize_pallas._split_records.
 
-    Forward barycentrics come from the winner's anchored AFFINE fields
-    (O(1)-magnitude coefficients: precise at the split's 16 bits; the
-    anchor is carried in 3 parts = full f32). The dL/dV_xy gradient flows
-    through the edge-form recompute from the selected screen CORNERS
-    (the differentiable fields, per SURVEY.md §9.6), attached by a
-    straight-through combination: forward value = affine bary, gradient =
-    corner bary. dL/dradiance flows through the selected radiance fields.
+    Barycentrics evaluate the winner's anchored affine forms, whose
+    coefficients were computed DIFFERENTIABLY at pack time and carried at
+    full f32 (3 exact bf16 parts): the forward equals the rasterizer's
+    bary exactly, and dL/dV_xy flows through the affine-coefficient chain
+    (SURVEY.md §9.6 — tri_id stays frozen, depth has no gradient).
+    dL/dradiance flows through the selected radiance fields.
     """
     jj, ii = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
     px = (jj + 0.5).astype(jnp.float32)[None]
@@ -130,39 +136,15 @@ def _shade_from_sel(tri_id, sel, height: int, width: int):
     def f(k):
         return sel[:, k]
 
-    def fg(k):  # setup-derived fields: no differentiable source
-        return jax.lax.stop_gradient(sel[:, k])
+    def w(k):     # affine coefficient k: 3 exact bf16 parts = full f32
+        return f(18 + k) + f(24 + k) + f(30 + k)
 
-    x0a = fg(30) + fg(31) + fg(32)
-    y0a = fg(33) + fg(34) + fg(35)
-    qx = px - x0a
-    qy = py - y0a
-    w0_f = (fg(18) + fg(24)) * qx + (fg(19) + fg(25)) * qy \
-        + (fg(20) + fg(26))
-    w1_f = (fg(21) + fg(27)) * qx + (fg(22) + fg(28)) * qy \
-        + (fg(23) + fg(29))
-
-    x0, y0 = f(36) + f(42), f(37) + f(43)
-    x1, y1 = f(38) + f(44), f(39) + f(45)
-    x2, y2 = f(40) + f(46), f(41) + f(47)
-
-    def edge(ax, ay, bx, by):
-        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-
-    e0 = edge(x1, y1, x2, y2)
-    e1 = edge(x2, y2, x0, y0)
-    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-    # safe reciprocal: 1/area evaluated at area==0 yields inf and its
-    # GRADIENT is NaN even when where() discards the value (0 * inf);
-    # the 16-bit corner split can cancel a ~1px triangle's area to exactly
-    # 0 at a covered pixel, which NaN'd training. where-guard the operand.
-    area_safe = jnp.where(area == 0.0, 1.0, area)
-    inv_area = jnp.where(area == 0.0, 0.0, 1.0 / area_safe)
-    w0_g, w1_g = e0 * inv_area, e1 * inv_area
-
-    # straight-through: forward = precise affine bary, gradient = corners
-    w0 = w0_g + jax.lax.stop_gradient(w0_f - w0_g)
-    w1 = w1_g + jax.lax.stop_gradient(w1_f - w1_g)
+    x0 = f(36) + f(37) + f(38)
+    y0 = f(39) + f(40) + f(41)
+    qx = px - x0
+    qy = py - y0
+    w0 = w(0) * qx + w(1) * qy + w(2)
+    w1 = w(3) * qx + w(4) * qy + w(5)
     w2 = 1.0 - w0 - w1
     hit2 = tri_id >= 0
     chans = [jnp.where(hit2, w0 * (f(c) + f(c + 9))
@@ -172,7 +154,7 @@ def _shade_from_sel(tri_id, sel, height: int, width: int):
     color = jnp.stack(chans, axis=-1)
     # mask per scalar plane BEFORE stacking: where(hit[..., None], ...) on
     # the stacked (B,H,W,3) materializes minor-dim-padded temps on TPU
-    bary = jnp.stack([jnp.where(hit2, w, 0.0) for w in (w0, w1, w2)],
+    bary = jnp.stack([jnp.where(hit2, v, 0.0) for v in (w0, w1, w2)],
                      axis=-1)
     return color, bary
 
@@ -249,9 +231,6 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
         # select (dynamic per-pixel gathers are the slowest stage on TPU;
         # fusing the select into the raster kernel shares the candidate
         # window DMA and kills the second kernel's per-band fixed cost)
-        # NB: the corner-adjacency gather adjoint measured SLOWER than the
-        # plain take's scatter here (narrow 5-wide rows gather at ~element
-        # rate) — keep the default backward
         records = _pack_render_records(
             geom.verts_ndc, radiance, bfm.faces, h, w,
             rasterize_pallas.padded_rows(bfm.faces.shape[0]))

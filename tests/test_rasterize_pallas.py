@@ -141,22 +141,25 @@ def test_fused_select_vjp_is_scatter_add(cfg, assets, rng):
     tid, sel, _ = RP.rasterize_select(
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
     local = np.random.default_rng(5)
-    g15 = jnp.asarray(local.standard_normal(
-        (*tid.shape, 15)).astype(np.float32))
+    g17 = jnp.asarray(local.standard_normal(
+        (*tid.shape, 17)).astype(np.float32))
 
     def f(r):
         out = RP.rasterize_select(r, geom.verts_ndc, bfm.faces, h, w,
                                   cfg.tile_h)[1]
         out = jnp.transpose(out, (0, 2, 3, 1))     # field-major -> minor
         rad = out[..., 0:9] + out[..., 9:18]       # reconstructed radiance
-        scr = out[..., 36:42] + out[..., 42:48]    # reconstructed corners
-        return jnp.sum(jnp.concatenate([rad, scr], -1) * g15)
+        wcf = (out[..., 18:24] + out[..., 24:30]
+               + out[..., 30:36])                  # affine w-coefficients
+        anc = jnp.stack([out[..., 36:39].sum(-1),
+                         out[..., 39:42].sum(-1)], -1)
+        return jnp.sum(jnp.concatenate([rad, wcf, anc], -1) * g17)
 
     grad = np.asarray(jax.grad(f)(records))
     pos = np.asarray(tid)
     exp = np.zeros(records.shape, np.float32)
-    gn = np.concatenate([np.asarray(g15),
-                         np.zeros((*pos.shape, 1), np.float32)], -1)
+    gn = np.concatenate([np.asarray(g17),
+                         np.zeros((*pos.shape, 7), np.float32)], -1)
     b_idx, i_idx, j_idx = np.nonzero(pos >= 0)
     np.add.at(exp, (b_idx, pos[b_idx, i_idx, j_idx]),
               gn[b_idx, i_idx, j_idx])
@@ -182,25 +185,26 @@ def test_pallas_z_fighting_tie_rule(cfg):
     assert set(np.unique(tid)) <= {-1, 0}
 
 
-def test_shade_gradient_finite_on_degenerate_corners():
-    """The 16-bit corner split can cancel a ~1px triangle's area to exactly
-    zero at a COVERED pixel; d(1/area) at 0 is inf and the where-discarded
-    branch still NaN's the gradient unless the operand is guarded. This
-    NaN'd training on TPU."""
-    h = w = 8
-    tid = jnp.zeros((1, h, w), jnp.int32)          # all covered
-    sel = np.zeros((1, 48, h, w), np.float32)
-    sel[:, 0:9] = 0.5                              # radiance
-    sel[:, 20] = 1.0                               # wc0 -> bary (1,0,0)
-    # screen corners all at the same point: area exactly 0
-    for k in range(36, 48):
-        sel[:, k] = 3.0 if k < 42 else 0.0
+def test_pack_gradient_finite_on_degenerate_triangle(cfg, assets):
+    """A zero-area triangle makes the affine-form reciprocal 1/area infinite;
+    the where-discarded branch still NaN's the gradient unless the operand
+    is guarded (this NaN'd training on TPU). The pack must stay finite."""
+    from facerecon_tpu.ops.render import _pack_render_records
+    bfm = G.device_bfm(assets)
+    n = assets.n_vertices
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((1, n, 3)).astype(np.float32)
+    # collapse the first triangle's corners to one point
+    f0 = assets.faces[0]
+    v[0, f0[1]] = v[0, f0[0]]
+    v[0, f0[2]] = v[0, f0[0]]
+    verts = jnp.asarray(v)
+    radiance = jnp.ones((1, n, 3), jnp.float32)
+    rows = RP.padded_rows(assets.n_faces)
 
-    from facerecon_tpu.ops.render import _shade_from_sel
+    def loss(vv):
+        rec = _pack_render_records(vv, radiance, bfm.faces, 32, 32, rows)
+        return jnp.sum(rec ** 2)
 
-    def loss(s):
-        color, bary = _shade_from_sel(tid, s, h, w)
-        return jnp.sum(color ** 2) + jnp.sum(bary ** 2)
-
-    g = jax.grad(loss)(jnp.asarray(sel))
-    assert bool(jnp.isfinite(g).all()), "NaN gradient on degenerate corners"
+    g = jax.grad(loss)(verts)
+    assert bool(jnp.isfinite(g).all()), "NaN gradient on degenerate triangle"
