@@ -50,11 +50,25 @@ def render_batch(coeff: np.ndarray, bfm: DeviceBFM, cfg: FaceReconConfig,
 
 
 def synthetic_batches(bfm: DeviceBFM, cfg: FaceReconConfig, batch: int,
-                      seed: int = 0, scale: float = 0.3,
+                      seed: int = 0, scale: float = 0.3, pool: int = 0,
                       ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Endless (images, landmarks68, true_coeffs) batches."""
+    """Endless (images, landmarks68, true_coeffs) batches.
+
+    pool > 0 generates that many batches once and cycles them (shuffled
+    per epoch) — generating ground truth renders ON the training device,
+    so an endless fresh stream serializes with the train step and caps
+    throughput; a pooled dataset is also the realistic epochs workload."""
     rng = np.random.default_rng(seed)
-    while True:
+    if pool <= 0:
+        while True:
+            coeff = sample_coeffs(rng, cfg, batch, scale)
+            img, lmk = render_batch(coeff, bfm, cfg)
+            yield img, lmk, coeff
+    cached = []
+    for _ in range(pool):
         coeff = sample_coeffs(rng, cfg, batch, scale)
         img, lmk = render_batch(coeff, bfm, cfg)
-        yield img, lmk, coeff
+        cached.append((img, lmk, coeff))
+    while True:
+        for i in rng.permutation(pool):
+            yield cached[int(i)]

@@ -49,6 +49,13 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def shard_axis1(mesh: Mesh, batch: Any) -> Any:
+    """Place host arrays on the mesh with axis 1 sharded (chunked training:
+    (steps, batch, ...) stacks keep the step axis whole per device)."""
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     s = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)

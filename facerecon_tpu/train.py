@@ -48,8 +48,15 @@ def make_optimizer(cfg: FaceReconConfig, total_steps: int):
     return optax.adam(sched)
 
 
-def make_train_step(pipe, opt, use_landmarks: bool = True):
-    """Build the jitted train step: (state, bfm, images, lmk) -> (state, metrics)."""
+def make_train_step(pipe, opt, use_landmarks: bool = True,
+                    chunk: int = 1):
+    """Build the jitted train step: (state, bfm, images, lmk) -> (state,
+    metrics).
+
+    chunk > 1 scans `chunk` optimizer steps inside ONE XLA dispatch over
+    stacked (chunk, batch, ...) inputs — the per-dispatch round trip (tens
+    of ms over the axon tunnel) otherwise dominates the step time. Metrics
+    are the last step's."""
     model, cfg = pipe.model, pipe.cfg
 
     def loss_fn(params, batch_stats, bfm: DeviceBFM, images, gt_lmk):
@@ -62,8 +69,7 @@ def make_train_step(pipe, opt, use_landmarks: bool = True):
             out, coeffs, images, gt_lmk if use_landmarks else None, bfm, cfg)
         return total, (parts, updates["batch_stats"])
 
-    @jax.jit
-    def train_step(state: TrainState, bfm: DeviceBFM, images, gt_lmk):
+    def one_step(state: TrainState, bfm: DeviceBFM, images, gt_lmk):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (parts, new_bs)), grads = grad_fn(
             state.variables["params"], state.variables["batch_stats"],
@@ -76,7 +82,19 @@ def make_train_step(pipe, opt, use_landmarks: bool = True):
             opt_state=opt_state, step=state.step + 1)
         return new_state, parts
 
-    return train_step
+    if chunk == 1:
+        return jax.jit(one_step)
+
+    @jax.jit
+    def chunk_step(state: TrainState, bfm: DeviceBFM, images_k, lmk_k):
+        def body(st, xs):
+            im, lk = xs
+            return one_step(st, bfm, im, lk)
+
+        state, parts_k = jax.lax.scan(body, state, (images_k, lmk_k))
+        return state, jax.tree.map(lambda x: x[-1], parts_k)
+
+    return chunk_step
 
 
 def init_state(pipe, opt, seed: int = 0) -> TrainState:
@@ -95,7 +113,10 @@ def run(args) -> dict:
     assets = load_npz(args.bfm) if args.bfm else synthetic_bfm(cfg, seed=0)
     pipe = make_pipeline(cfg, assets)
     opt = make_optimizer(cfg, args.steps)
-    train_step = make_train_step(pipe, opt, use_landmarks=not args.no_landmarks)
+    chunk = max(1, getattr(args, "chunk", 1))
+    train_step = make_train_step(pipe, opt,
+                                 use_landmarks=not args.no_landmarks,
+                                 chunk=chunk)
 
     state = init_state(pipe, opt, args.seed)
     mgr = None
@@ -137,27 +158,36 @@ def run(args) -> dict:
         source = ds.batches(cfg.batch_size, seed=args.seed + 1)
     else:
         source = synthetic_batches(pipe.bfm, cfg, cfg.batch_size,
-                                   seed=args.seed + 1)
+                                   seed=args.seed + 1,
+                                   pool=getattr(args, "data_pool", 0))
     data = prefetch(source, depth=2)
     t0 = time.time()
     first_loss = last_loss = None
-    for i in range(args.steps):
-        images, lmk, _ = next(data)
-        images, lmk = jnp.asarray(images), jnp.asarray(lmk)
-        if multi:
-            images, lmk = pmesh.shard_batch(mesh, (images, lmk))
+    n_iters = (args.steps + chunk - 1) // chunk
+    for i in range(n_iters):
+        if chunk == 1:
+            images, lmk, _ = next(data)
+            images, lmk = jnp.asarray(images), jnp.asarray(lmk)
+            if multi:
+                images, lmk = pmesh.shard_batch(mesh, (images, lmk))
+        else:
+            batches = [next(data) for _ in range(chunk)]
+            images = jnp.stack([jnp.asarray(b[0]) for b in batches])
+            lmk = jnp.stack([jnp.asarray(b[1]) for b in batches])
+            if multi:
+                images, lmk = pmesh.shard_axis1(mesh, (images, lmk))
         state, parts = train_step(state, bfm, images, lmk)
         if i == 0:
             jax.block_until_ready(parts["total"])
             t0 = time.time()  # exclude compile from throughput
             first_loss = float(parts["total"])
-        if (i + 1) % args.log_every == 0 or i == args.steps - 1:
+        if (i + 1) % args.log_every == 0 or i == n_iters - 1:
             last_loss = float(parts["total"])
-            # t0 is reset after step 0 (compile excluded) -> i timed steps
-            rate = (cfg.batch_size * i / max(time.time() - t0, 1e-9)
-                    if i > 0 else float("nan"))
+            # t0 is reset after iter 0 (compile excluded) -> i timed iters
+            rate = (cfg.batch_size * chunk * i
+                    / max(time.time() - t0, 1e-9) if i > 0 else float("nan"))
             print(json.dumps({
-                "step": i + 1,
+                "step": (i + 1) * chunk,
                 **{k: round(float(v), 5) for k, v in parts.items()},
                 "faces_per_sec": round(rate, 1)}))
             if writer is not None:
@@ -168,6 +198,7 @@ def run(args) -> dict:
                 "variables": jax.device_get(state.variables),
                 "opt_state": jax.device_get(state.opt_state),
                 "step": int(state.step)})
+    data.close()
     if mgr:
         mgr.save(int(state.step), {
             "variables": jax.device_get(state.variables),
@@ -185,6 +216,13 @@ def run(args) -> dict:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--chunk", type=int, default=1,
+                   help="optimizer steps per XLA dispatch (amortizes the "
+                        "per-dispatch round trip)")
+    p.add_argument("--data-pool", type=int, default=0,
+                   help="synthetic source: pre-generate this many batches "
+                        "and epoch over them (0 = endless fresh stream, "
+                        "which renders ground truth on-device each step)")
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--data-dir", default=None,
                    help="folder of (image, 68-landmark) pairs; omit for "
