@@ -31,7 +31,7 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 from facerecon_tpu.config import FaceReconConfig
-from facerecon_tpu.data.preprocess import (align_face, canonical_template,
+from facerecon_tpu.data.preprocess import (align_face,
                                            similarity_transform, warp_affine)
 
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from facerecon_tpu.config import default_config, tiny_config
 from facerecon_tpu import oracle
 from facerecon_tpu.data.synthetic import sample_coeffs
-from facerecon_tpu.ops.geometry import device_bfm, coeffs_to_geometry
+from facerecon_tpu.ops.geometry import device_bfm
 from facerecon_tpu.ops.render import render_coeffs
 from facerecon_tpu.utils import native_oracle
 from facerecon_tpu.utils.bfm import load_npz, synthetic_bfm

@@ -13,11 +13,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import time
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax

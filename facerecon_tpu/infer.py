@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from facerecon_tpu.config import FaceReconConfig, default_config, tiny_config
 from facerecon_tpu.data.synthetic import sample_coeffs, render_batch
-from facerecon_tpu.pipeline import (Pipeline, init_params, make_pipeline,
+from facerecon_tpu.pipeline import (Pipeline, make_pipeline,
                                     make_reconstruct_fn)
 from facerecon_tpu.utils.bfm import BFMAssets, load_npz, synthetic_bfm
 from facerecon_tpu.utils.metrics import landmark_rmse, psnr

@@ -6,19 +6,17 @@ checkpointing).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from facerecon_tpu.config import FaceReconConfig
 from facerecon_tpu.models.resnet import build_model
 from facerecon_tpu.ops.geometry import DeviceBFM, device_bfm
-from facerecon_tpu.ops.render import RenderOut, render_coeffs
+from facerecon_tpu.ops.render import render_coeffs
 from facerecon_tpu.utils.bfm import BFMAssets
-from facerecon_tpu.utils.coeffs import Coeffs, split_coeff
+from facerecon_tpu.utils.coeffs import split_coeff
 
 
 class Pipeline(NamedTuple):

@@ -17,7 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -26,13 +26,13 @@ import optax
 
 from facerecon_tpu.config import FaceReconConfig, default_config, tiny_config
 from facerecon_tpu.data.synthetic import render_batch, sample_coeffs
-from facerecon_tpu.ops.geometry import DeviceBFM, device_bfm
+from facerecon_tpu.ops.geometry import DeviceBFM
 from facerecon_tpu.ops.losses import total_loss
 from facerecon_tpu.ops.render import render_coeffs
 from facerecon_tpu.parallel import mesh as pmesh
-from facerecon_tpu.pipeline import init_params, make_pipeline
+from facerecon_tpu.pipeline import make_pipeline
 from facerecon_tpu.utils.bfm import load_npz, synthetic_bfm
-from facerecon_tpu.utils.coeffs import Coeffs, join_coeff, split_coeff
+from facerecon_tpu.utils.coeffs import split_coeff
 from facerecon_tpu.utils.metrics import landmark_rmse, psnr
 
 

@@ -16,16 +16,15 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 
 from facerecon_tpu.config import FaceReconConfig, default_config, tiny_config
 from facerecon_tpu.data.synthetic import synthetic_batches
-from facerecon_tpu.ops.geometry import DeviceBFM, device_bfm
+from facerecon_tpu.ops.geometry import DeviceBFM
 from facerecon_tpu.ops.losses import total_loss
 from facerecon_tpu.ops.render import render_coeffs
 from facerecon_tpu.parallel import mesh as pmesh
