@@ -85,6 +85,10 @@ def run(args) -> dict:
     assets = get_assets(args, cfg)
     pipe = make_pipeline(cfg, assets)
     variables = restore_variables(pipe, args.ckpt)
+    if getattr(args, "fused", False):
+        # serving transform: fold BN + space-to-depth stem (exact)
+        from facerecon_tpu.pipeline import fuse_for_inference
+        pipe, variables = fuse_for_inference(pipe, variables)
     recon = make_reconstruct_fn(pipe)
     os.makedirs(args.out, exist_ok=True)
 
@@ -143,6 +147,9 @@ def main(argv=None):
                    help="number of synthetic faces when no images given")
     p.add_argument("--out", default="/tmp/facerecon_out")
     p.add_argument("--ckpt", default=None, help="checkpoint dir to restore")
+    p.add_argument("--fused", action="store_true",
+                   help="serve the inference-fused CNN (BN folded, "
+                        "space-to-depth stem; exact, ~10%% faster)")
     p.add_argument("--bfm", default=None, help=".npz BFM asset pack")
     p.add_argument("--tiny", action="store_true", help="tiny test config")
     p.add_argument("--seed", type=int, default=0)
