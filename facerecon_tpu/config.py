@@ -43,6 +43,9 @@ class FaceReconConfig:
     w_reg_tex: float = 1.7e-2
     w_reg_scale: float = 3e-4
     w_gamma: float = 10.0
+    # optional flat-albedo prior (SURVEY.md §9.7): variance of the skin
+    # albedo; 0 disables (the reference family's default behavior)
+    w_tex_var: float = 0.0
     landmark_weight_inner: float = 20.0  # nose + inner mouth up-weight
 
     # --- rasterizer tiling (Pallas kernel, SURVEY.md §9.5) ---

@@ -66,6 +66,21 @@ def regularization_loss(c: Coeffs, bfm: DeviceBFM,
     return cfg.w_reg_scale * reg
 
 
+def texture_variance_loss(texture: jnp.ndarray,
+                          bfm: DeviceBFM) -> jnp.ndarray:
+    """Optional flat-albedo prior (SURVEY.md §9.7 "optional
+    texture-variance term"): penalize per-channel variance of the
+    predicted albedo over the SKIN region, pushing shading variation into
+    the SH illumination instead of baked-in texture.
+
+    texture (B,N,3) in [0,1]; skin weights from the asset pack."""
+    w = bfm.skin_mask[None, :, None]                       # (1,N,1)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(texture * w, axis=1, keepdims=True) / wsum
+    var = jnp.sum(w * (texture - mean) ** 2, axis=1) / wsum  # (B,3)
+    return jnp.mean(jnp.sum(var, axis=-1))
+
+
 def gamma_loss(gamma: jnp.ndarray) -> jnp.ndarray:
     """Channel-balance: penalize per-channel deviation from the cross-channel
     mean of each SH coefficient (SURVEY.md §9.7 L_gamma)."""
@@ -85,6 +100,10 @@ def total_loss(out: RenderOut, coeffs: Coeffs, target: jnp.ndarray,
     l_gamma = gamma_loss(coeffs.gamma)
     total = (cfg.w_photo * l_photo + l_reg + cfg.w_gamma * l_gamma)
     parts = {"photo": l_photo, "reg": l_reg, "gamma": l_gamma}
+    if cfg.w_tex_var > 0.0:
+        l_tv = texture_variance_loss(out.geometry.texture, bfm)
+        total = total + cfg.w_tex_var * l_tv
+        parts["tex_var"] = l_tv
     if gt_landmarks is not None:
         l_lmk = landmark_loss(out.geometry.landmarks2d, gt_landmarks, cfg)
         total = total + cfg.w_landmark * l_lmk

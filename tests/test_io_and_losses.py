@@ -73,3 +73,31 @@ def test_metrics():
     assert psnr(a, a) == float("inf")
     assert abs(psnr(a, a + 0.1) - 20.0) < 1e-6
     assert vertex_mae(a, a + 2.0) == 2.0
+
+
+def test_texture_variance_loss(cfg, assets):
+    """Optional C13 term: zero for flat albedo, positive for varied, and
+    wired into total_loss only when its weight is set."""
+    import dataclasses
+    import jax.numpy as jnp
+    from facerecon_tpu.ops import geometry as G
+    from facerecon_tpu.ops.losses import texture_variance_loss, total_loss
+    from facerecon_tpu.ops.render import render_coeffs
+    from facerecon_tpu.utils.coeffs import split_coeff
+
+    bfm = G.device_bfm(assets)
+    n = assets.n_vertices
+    flat = jnp.full((1, n, 3), 0.5)
+    assert float(texture_variance_loss(flat, bfm)) < 1e-10
+    varied = flat.at[:, : n // 2].set(0.9)
+    assert float(texture_variance_loss(varied, bfm)) > 1e-3
+
+    coeff = jnp.zeros((1, cfg.n_coeff))
+    c = split_coeff(coeff, cfg)
+    out = render_coeffs(c, bfm, cfg)
+    target = jnp.zeros_like(out.image)
+    _, parts_off = total_loss(out, c, target, None, bfm, cfg)
+    assert "tex_var" not in parts_off
+    cfg_on = dataclasses.replace(cfg, w_tex_var=1.0)
+    total_on, parts_on = total_loss(out, c, target, None, bfm, cfg_on)
+    assert "tex_var" in parts_on and float(parts_on["tex_var"]) >= 0.0
