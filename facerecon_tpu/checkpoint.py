@@ -58,8 +58,7 @@ def restore_or_init(pipe, ckpt: Optional[str], seed: int = 0):
     import jax.numpy as jnp
     from facerecon_tpu.pipeline import init_params
 
-    variables = init_params(pipe, jax.random.PRNGKey(seed))
     if ckpt:
         state = CheckpointManager(ckpt).restore()
-        variables = jax.tree.map(jnp.asarray, state["variables"])
-    return variables
+        return jax.tree.map(jnp.asarray, state["variables"])
+    return init_params(pipe, jax.random.PRNGKey(seed))

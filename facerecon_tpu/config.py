@@ -1,10 +1,17 @@
 """Single frozen-dataclass config (SURVEY.md §3 C21).
 
-All coefficient dims, camera constants, loss weights, and rasterizer tile
-parameters live here — no hidden constants in kernels. Defaults follow the
+All coefficient dims, camera constants, loss weights, and the FALLBACK
+rasterizer's tile parameters live here. Defaults follow the
 Deep3DFace-family convention pinned in SURVEY.md §9 (coeff layout
 [id 80 | exp 64 | tex 80 | angles 3 | gamma 27 | t 3] = 257; camera f=1015,
 c=10 for a 224x224 plane).
+
+The Pallas TPU kernel's lane/window constants (_CHUNK, _GRP, _WINDOW, the
+head/mid DMA split) are HARDWARE-LAYOUT constants, not workload knobs: they
+encode the v5e vreg geometry (128 lanes, 8 sublanes) and measured DMA
+sizing, and live next to the kernel in ops/rasterize_pallas.py. Only
+`tile_h` is shared; `tile_w`/`max_tris_per_tile`/`tri_chunk` configure the
+non-Pallas fallback paths (ops/rasterize_tiled.py).
 """
 
 from __future__ import annotations
@@ -48,14 +55,16 @@ class FaceReconConfig:
     w_tex_var: float = 0.0
     landmark_weight_inner: float = 20.0  # nose + inner mouth up-weight
 
-    # --- rasterizer tiling (Pallas kernel, SURVEY.md §9.5) ---
-    # 2-row bands measured fastest at 224px on v5e with the unrolled kernel
-    # (fewest candidate-pixel pairs; unrolling amortizes loop overhead)
+    # --- rasterizer tiling (SURVEY.md §9.5) ---
+    # band height in pixel rows, shared by the Pallas kernel and the tiled
+    # fallback; 2 measured fastest at 224px on v5e (fewest candidate-pixel
+    # pairs per band)
     tile_h: int = 2
+    # fallback (ops/rasterize_tiled.py) tile width
     tile_w: int = 128
-    # max candidate triangles per tile after binning; padded/truncated to this
+    # fallback: max candidate triangles per tile after binning
     max_tris_per_tile: int = 4096
-    # triangle chunk processed per inner kernel step
+    # fallback: triangle chunk processed per inner step
     tri_chunk: int = 512
 
     # --- training ---

@@ -93,8 +93,10 @@ class FolderDataset:
                 continue
             lmk_path = os.path.join(root, stem + ".txt")
             if not os.path.exists(lmk_path):
-                raise FileNotFoundError(
-                    f"no landmark file for {fn}: expected {lmk_path}")
+                if align != "none":
+                    raise FileNotFoundError(
+                        f"no landmark file for {fn}: expected {lmk_path}")
+                lmk_path = None   # pre-aligned crops may ship bare images
             self.items.append((os.path.join(root, fn), lmk_path,
                                os.path.join(root, stem + "_5p.txt")))
         if not self.items:
@@ -107,7 +109,10 @@ class FolderDataset:
         """-> (aligned image (S,S,3) f32 [0,1], aligned landmarks (68,2))."""
         img_path, lmk_path, p5_path = self.items[idx]
         image = _load_image(img_path)
-        lmk68 = load_landmarks(lmk_path)
+        # bare pre-aligned crops (align="none", no side-car): landmarks NaN
+        # so downstream landmark losses are an explicit error to request
+        lmk68 = (load_landmarks(lmk_path) if lmk_path is not None
+                 else np.full((68, 2), np.nan, np.float32))
         size = self.cfg.image_size
         if self.align == "none":
             h, w = image.shape[:2]
@@ -127,10 +132,29 @@ class FolderDataset:
                 else five_from_68(lmk68))
         return align_face(image, lmk5, size, landmarks68=lmk68)
 
+    def stems(self) -> list:
+        """Basenames (no extension) in filename order — output naming for
+        the fit/track drivers."""
+        return [os.path.splitext(os.path.basename(it[0]))[0]
+                for it in self.items]
+
+    def load_all(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Every item in filename order -> (images (N,S,S,3) f32,
+        landmarks68 (N,68,2)). The ORDERED interface for the fit (photo in
+        -> mesh out) and track (frame sequence) drivers, which must not
+        shuffle."""
+        pairs = [self.load(i) for i in range(len(self.items))]
+        return (np.stack([p[0] for p in pairs]),
+                np.stack([p[1] for p in pairs]))
+
     def batches(self, batch: int, seed: int = 0, epochs: Optional[int] = None
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray, None]]:
         """Endless (or epochs-bounded) shuffled (images, lmk68, None)
         batches, same interface as data/synthetic.synthetic_batches."""
+        if len(self.items) < batch:
+            raise ValueError(
+                f"dataset has {len(self.items)} items < batch size {batch}: "
+                "batches() would yield nothing (drop-last batching)")
         rng = np.random.default_rng(seed)
         epoch = 0
         while epochs is None or epoch < epochs:

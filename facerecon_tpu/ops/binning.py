@@ -198,8 +198,8 @@ def bin_triangles_static(verts_ndc, faces, height: int, width: int,
     # NOTE: per-(band,col) disjoint chunk RUN lists were tried (one run per
     # mesh row crossing the tile) and measured SLOWER than the plain window:
     # runs are 1-3 chunks long while the backend's fixed cost per loop
-    # iteration (~2.4us) dominates — the win comes from unrolling chunks per
-    # iteration instead (rasterize_pallas._UNROLL).
+    # iteration (~2.4us) dominates — a single contiguous window per tile
+    # keeps the inner loop long and the DMA contiguous.
     return StaticSetup(coeffs=coeffs, band_lo=band_lo, n_chunks=n_chunks)
 
 

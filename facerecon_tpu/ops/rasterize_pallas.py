@@ -504,7 +504,10 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
     pos = jnp.where(hit, pos, -1)
     prec = packed[:, :_RFIELDS].astype(jnp.float32)
     zbuf = jnp.where(hit, zbuf, jnp.inf)
-    return pos, prec, zbuf
+    # (glo, gn) ride along for the VJP residuals: re-binning in _rs_fwd
+    # would redo full triangle setup per training forward (nothing
+    # guarantees CSE across the custom_vjp boundary)
+    return pos, prec, zbuf, glo, gn
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -526,19 +529,16 @@ def rasterize_select(records, verts_ndc, faces, height: int, width: int,
     derivative a.e.), so the cotangent of x is the LO part's alone."""
     return _fused_impl(records, jax.lax.stop_gradient(verts_ndc), faces,
                        height=height, width=width, tile_h=tile_h,
-                       cull_backfaces=cull_backfaces)
+                       cull_backfaces=cull_backfaces)[:3]
 
 
 def _rs_fwd(records, verts_ndc, faces, height, width, tile_h,
             cull_backfaces):
-    out = _fused_impl(records, jax.lax.stop_gradient(verts_ndc), faces,
-                      height=height, width=width, tile_h=tile_h,
-                      cull_backfaces=cull_backfaces)
-    tile_w = ((width + 7) // 8) * 8
-    glo, gn, _ = _band_windows(jax.lax.stop_gradient(verts_ndc), faces,
-                               height, width, tile_h, tile_w,
-                               cull_backfaces)
-    return out, (out[0], records.shape, glo, gn)
+    pos, prec, zbuf, glo, gn = _fused_impl(
+        records, jax.lax.stop_gradient(verts_ndc), faces,
+        height=height, width=width, tile_h=tile_h,
+        cull_backfaces=cull_backfaces)
+    return (pos, prec, zbuf), (pos, records.shape, glo, gn)
 
 
 
@@ -592,7 +592,11 @@ def _select_grad(pos, g_sel, glo, gn, *, rows: int, height: int, width: int,
     d attribute-records (B, rows, 16): radiance lo-fields 9:18 and corner
     lo-fields 42:48 of the split layout, group-blocked matmul adjoint."""
     bsz = pos.shape[0]
-    tile_w = ((width + 127) // 128) * 128
+    # sublane-aligned like the forward: band_px is the matmul'S contraction
+    # dim here, so the old 128-lane rounding paid 12.5% extra MXU passes at
+    # 224 for columns whose pos is -1 (the HBM buffer still tiles to 128
+    # internally, but the DMA and the dot only touch the live columns)
+    tile_w = ((width + 7) // 8) * 8
     band_px = tile_h * tile_w
     n_bands = (height + tile_h - 1) // tile_h
     ngrp = rows // _GLANES

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from typing import NamedTuple
 
@@ -151,15 +152,32 @@ def run(args) -> dict:
     bfm = pipe.bfm
     rng = np.random.default_rng(args.seed)
 
-    # synthetic sequence: one identity/texture, smoothly varying pose+exp
-    base = sample_coeffs(rng, cfg, 1)[0]
-    t_ax = np.linspace(0, 2 * np.pi, args.frames, dtype=np.float32)
-    seq = np.tile(base, (args.frames, 1))
-    s = cfg.coeff_split
-    seq[:, s[0]:s[1]] += 0.15 * np.sin(t_ax)[:, None] * rng.standard_normal(
-        (1, cfg.n_exp)).astype(np.float32)
-    seq[:, s[2]] += 0.2 * np.sin(t_ax)          # yaw sweep
-    frames, gt_lmk = render_batch(seq, bfm, cfg)
+    if getattr(args, "frames_dir", None):
+        # real-input workflow (SURVEY.md §2 L6 "video frame extraction for
+        # tracking"): an ordered folder of extracted frames with 68-landmark
+        # side-cars, aligned on the host like the training pipeline
+        from facerecon_tpu.data.folder import FolderDataset
+        ds = FolderDataset(args.frames_dir, cfg,
+                           align=getattr(args, "align", "68pt"),
+                           assets=assets)
+        frames, gt_lmk = ds.load_all()
+        if not np.isfinite(gt_lmk).all():
+            raise ValueError("tracking needs landmark side-car files for "
+                             "every frame (the refinement objective uses "
+                             "the landmark loss)")
+        args.frames = frames.shape[0]
+        seq = base = None        # no generating coefficients for real video
+    else:
+        # synthetic sequence: one identity/texture, smooth-varying pose+exp
+        base = sample_coeffs(rng, cfg, 1)[0]
+        t_ax = np.linspace(0, 2 * np.pi, args.frames, dtype=np.float32)
+        seq = np.tile(base, (args.frames, 1))
+        s = cfg.coeff_split
+        seq[:, s[0]:s[1]] += (0.15 * np.sin(t_ax)[:, None]
+                              * rng.standard_normal(
+                                  (1, cfg.n_exp)).astype(np.float32))
+        seq[:, s[2]] += 0.2 * np.sin(t_ax)          # yaw sweep
+        frames, gt_lmk = render_batch(seq, bfm, cfg)
 
     # stage 1: per-frame CNN regression — trained checkpoint when given
     # (--ckpt), otherwise fresh init (zero head -> mean face)
@@ -204,16 +222,6 @@ def run(args) -> dict:
         coeff_fit = np.asarray(_assemble(tp, cfg))
     tracked, _ = render_batch(coeff_fit, bfm, cfg)
     out = render_coeffs(split_coeff(jnp.asarray(coeff_fit), cfg), bfm, cfg)
-    # per-frame geometry recovery vs the ground-truth sequence. NB: with
-    # synthetic random-orthonormal bases, identity COEFFICIENTS are not
-    # identifiable (the id and exp spans alias, and per-frame exp can
-    # absorb any shared deformation) — the recovered SHAPE is the
-    # meaningful metric; id_err is reported for information only.
-    from facerecon_tpu.ops.geometry import coeffs_to_geometry
-    gt_geom = coeffs_to_geometry(split_coeff(jnp.asarray(seq), cfg), bfm,
-                                 cfg)
-    vertex_mae = float(jnp.abs(out.geometry.verts_world
-                               - gt_geom.verts_world).mean())
     report = {
         "frames": args.frames, "devices": n_dev,
         "refine_s": elapsed,
@@ -221,10 +229,26 @@ def run(args) -> dict:
         "psnr_db": psnr(tracked, frames),
         "landmark_rmse_px": landmark_rmse(
             np.asarray(out.geometry.landmarks2d), gt_lmk),
-        "vertex_mae": vertex_mae,
-        "id_err": float(np.abs(np.asarray(tp.shared_id)
-                               - base[:cfg.n_id]).mean()),
     }
+    if seq is not None:
+        # per-frame geometry recovery vs the generating sequence (synthetic
+        # source only — real video has no ground-truth coefficients). NB:
+        # with synthetic random-orthonormal bases, identity COEFFICIENTS are
+        # not identifiable (the id and exp spans alias, and per-frame exp
+        # can absorb any shared deformation) — the recovered SHAPE is the
+        # meaningful metric; id_err is reported for information only.
+        from facerecon_tpu.ops.geometry import coeffs_to_geometry
+        gt_geom = coeffs_to_geometry(split_coeff(jnp.asarray(seq), cfg),
+                                     bfm, cfg)
+        report["vertex_mae"] = float(jnp.abs(
+            out.geometry.verts_world - gt_geom.verts_world).mean())
+        report["id_err"] = float(np.abs(np.asarray(tp.shared_id)
+                                        - base[:cfg.n_id]).mean())
+    if getattr(args, "out", None):
+        os.makedirs(args.out, exist_ok=True)
+        np.save(os.path.join(args.out, "tracked_coeffs.npy"), coeff_fit)
+        np.save(os.path.join(args.out, "tracked_landmarks.npy"),
+                np.asarray(out.geometry.landmarks2d))
     print(json.dumps(report))
     return report
 
@@ -232,6 +256,15 @@ def run(args) -> dict:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--frames-dir", default=None,
+                   help="ordered folder of video frames (+68-landmark "
+                        "side-cars) to track; omit for the synthetic "
+                        "sequence")
+    p.add_argument("--align", default="68pt",
+                   choices=("5pt", "68pt", "none"),
+                   help="alignment mode for --frames-dir")
+    p.add_argument("--out", default=None,
+                   help="directory for tracked coefficient/landmark dumps")
     p.add_argument("--refine-steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--ckpt", default=None,

@@ -162,7 +162,13 @@ def run(args) -> dict:
     data = prefetch(source, depth=2)
     t0 = time.time()
     first_loss = last_loss = None
-    n_iters = (args.steps + chunk - 1) // chunk
+    # chunked dispatch runs whole chunks only: round the step budget DOWN
+    # so --steps is never exceeded (the checkpointed/reported step count
+    # stays truthful)
+    n_iters = max(1, args.steps // chunk)
+    if chunk > 1 and args.steps % chunk:
+        print(f"--steps {args.steps} is not a multiple of --chunk {chunk}: "
+              f"running {n_iters * chunk} steps")
     for i in range(n_iters):
         if chunk == 1:
             images, lmk, _ = next(data)

@@ -61,8 +61,20 @@ def save_npz(path: str, assets: BFMAssets) -> None:
 
 
 def load_npz(path: str) -> BFMAssets:
+    """Load an asset pack. The adjacency tables (vertex_face_adj,
+    vertex_corner_adj, face_adj_slot) are derived data — packs saved before
+    they existed, or prepared externally per the drop-in contract, may omit
+    them; they are recomputed from `faces` here."""
     with np.load(path) as z:
-        fields = {f.name: z[f.name] for f in dataclasses.fields(BFMAssets)}
+        fields = {f.name: z[f.name]
+                  for f in dataclasses.fields(BFMAssets) if f.name in z}
+    adj_names = ("vertex_face_adj", "vertex_corner_adj", "face_adj_slot")
+    if any(name not in fields for name in adj_names):
+        n = fields["mean_shape"].shape[0] // 3
+        adj, corner_adj, face_slot = vertex_face_adjacency(
+            fields["faces"], n, with_corners=True)
+        fields.update(vertex_face_adj=adj, vertex_corner_adj=corner_adj,
+                      face_adj_slot=face_slot)
     return BFMAssets(**fields)
 
 

@@ -38,7 +38,10 @@ def test_fit_improves(tmp_path):
     assert rep["loss_last"] < rep["loss_first"]
 
 
-def test_track_recovers_identity():
+def test_track_cli_smoke():
+    """CLI surface only — loss decreases and metrics are finite. The real
+    geometry-recovery thresholds (vertex MAE, landmark RMSE against the
+    generating coefficients) live in test_fit_track_ckpt.py."""
     from facerecon_tpu import track
     rep = track.run(_ns(frames=4, refine_steps=30, lr=1e-2, bfm=None,
                         tiny=True, seed=0))
