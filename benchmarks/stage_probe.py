@@ -1,0 +1,110 @@
+"""Stage isolation probe for the shipped render path: times (a) binning +
+layouts only, (b) the fused kernel dispatch, (c) kernel + unpack + shade,
+all chained in-jit (device-true over the axon tunnel).
+
+  python benchmarks/stage_probe.py [BATCH=64] [SIZE=224] [TILEH=2]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from facerecon_tpu.config import default_config
+from facerecon_tpu.data.synthetic import sample_coeffs
+from facerecon_tpu.ops import rasterize_pallas as RP
+from facerecon_tpu.ops import sh as sh_ops
+from facerecon_tpu.ops.geometry import coeffs_to_geometry, device_bfm
+from facerecon_tpu.ops.render import (_pack_render_records, _shade_from_sel)
+from facerecon_tpu.utils.bfm import synthetic_bfm
+from facerecon_tpu.utils.coeffs import split_coeff
+
+
+def timed(tag, fn, *args, inner=8, reps=3):
+    @jax.jit
+    def chained(*a):
+        def body(carry, _):
+            s = fn(*a, seed=carry)
+            return s * 1e-30, s
+        _, ss = jax.lax.scan(body, 0.0, None, length=inner)
+        return jnp.sum(ss)
+
+    t0 = time.time()
+    _ = float(chained(*args))
+    print(f"{tag}: compile {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    for _ in range(reps):
+        out = chained(*args)
+    _ = float(out)
+    dt = (time.time() - t0) / (reps * inner)
+    b = args[0].shape[0]
+    print(f"{tag}: {dt*1000:7.1f} ms/{b} -> {b/dt:7.0f} faces/s", flush=True)
+
+
+def main():
+    size = int(os.environ.get("SIZE", "224"))
+    batch = int(os.environ.get("BATCH", "64"))
+    tile_h = int(os.environ.get("TILEH", "2"))
+    cfg = default_config(image_size=size, focal=1015.0 * size / 224.0,
+                        tile_h=tile_h)
+    assets = synthetic_bfm(cfg, seed=0)
+    bfm = device_bfm(assets)
+    rng = np.random.default_rng(0)
+    cv = jnp.asarray(sample_coeffs(rng, cfg, batch))
+
+    @jax.jit
+    def prep(cv):
+        c = split_coeff(cv, cfg)
+        geom = coeffs_to_geometry(c, bfm, cfg)
+        radiance = sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
+        records = _pack_render_records(
+            geom.verts_ndc, radiance, bfm.faces, size, size,
+            RP.padded_rows(bfm.faces.shape[0]))
+        return geom.verts_ndc, records
+
+    vndc, records = prep(cv)
+    jax.block_until_ready(records)
+    print("prep ready", flush=True)
+    h = w = size
+
+    def f_bin(vndc, records, seed):
+        blo, bn, coeffs = RP._band_windows(
+            vndc * (1.0 + seed), bfm.faces, h, w, tile_h, False)
+        st = jnp.transpose(coeffs, (0, 2, 1))
+        rt = jnp.transpose(RP._split_records(records), (0, 2, 1))
+        return (jnp.sum(blo).astype(jnp.float32) + st[0, 0, 0]
+                + rt[0, 0, 0].astype(jnp.float32))
+
+    def f_kernel(vndc, records, seed):
+        out = RP._fused_impl(records, vndc * (1.0 + seed * 1e-30),
+                             bfm.faces, height=h, width=w, tile_h=tile_h)
+        return out[1][0, 0, 0, 0]   # one element of sel (dispatch-true)
+
+    def f_shade(vndc, records, seed):
+        pos, sel, zb = RP.rasterize_select(
+            records * (1.0 + seed * 1e-30), vndc, bfm.faces, h, w, tile_h)
+        color, bary = _shade_from_sel(pos, sel, h, w)
+        return jnp.mean(color)
+
+    def f_prep(vndc, records, seed):
+        v2, r2 = prep(cv * (1.0 + seed * 1e-30))
+        return jnp.mean(v2) + jnp.mean(r2)
+
+    only = os.environ.get("ONLY")
+    probes = {"prep": ("prep(geom+pack)", f_prep),
+              "bin": ("bin+layouts   ", f_bin),
+              "kernel": ("fused kernel  ", f_kernel),
+              "shade": ("kernel+shade  ", f_shade)}
+    for key, (tag, fn) in probes.items():
+        if only and key not in only.split(","):
+            continue
+        timed(tag, fn, vndc, records)
+
+
+if __name__ == "__main__":
+    main()

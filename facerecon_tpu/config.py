@@ -6,7 +6,7 @@ Deep3DFace-family convention pinned in SURVEY.md §9 (coeff layout
 [id 80 | exp 64 | tex 80 | angles 3 | gamma 27 | t 3] = 257; camera f=1015,
 c=10 for a 224x224 plane).
 
-The Pallas TPU kernel's lane/window constants (_CHUNK, _GRP, _WINDOW, the
+The Pallas TPU kernel's lane/window constants (_CHUNK, _WINDOW, _COL_W, the
 head/mid DMA split) are HARDWARE-LAYOUT constants, not workload knobs: they
 encode the v5e vreg geometry (128 lanes, 8 sublanes) and measured DMA
 sizing, and live next to the kernel in ops/rasterize_pallas.py. Only

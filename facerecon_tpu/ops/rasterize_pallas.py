@@ -1,41 +1,47 @@
 """Pallas TPU z-buffer rasterizer — SURVEY.md §3 C8, design per §9.5.
 
 Replaces the reference's C++/CUDA z-buffer op with a tile-based Mosaic/TPU
-kernel. Shares triangle setup + y-band binning with ops/rasterize_tiled.py
-(ops/binning.py). Round-2 structure:
+kernel. Shares triangle setup + 2-D (band, column) binning with
+ops/rasterize_tiled.py (ops/binning.py). Round-3 structure:
 
-  - GROUPED LANE EVAL: 8 triangle chunks are laid side-by-side on the lane
-    axis (8x128 = 1024 lanes per eval step), so the two cross-lane
-    reductions (depth argmin + winner lane) run once per 8 chunks instead of
-    once per chunk — reductions were ~60% of round-1 kernel time.
-  - FUSED RECORD SELECT: after the z-loop, the same kernel one-hot-matmuls
-    the per-pixel winner's render record out of the band's candidate window
-    (MXU does the gather). This removes the separate select kernel: its
-    duplicate window DMA, its per-band fixed cost, and the HBM round-trip
-    of the winner positions. The dot's cost is the stationary-weight load
-    (proportional to passes x K and INDEPENDENT of the record width), so
-    records are PRE-SPLIT into exactly-bf16-representable field parts
-    (_split_records: hi/lo pairs for 16-bit fields, 3 parts for the
-    pixel-coordinate anchors) and ONE bf16 pass reads all 48 fields with
-    no rounding: each product is an exact bf16 value, each pixel row has
-    exactly one nonzero product.
+  - CHUNK-GRANULAR WINDOWS: per-band candidate windows are sized in
+    128-triangle chunks (round 2 used 1024-lane groups, whose alignment
+    rounding more than doubled the candidates a typical 2-row band
+    evaluates). The whole band window is one contiguous DMA; triangles
+    stay in ORIGINAL face order (sort-free binning).
+  - COLUMN TILES: each band is split into ~112px-wide columns and every
+    column loops only the chunks whose bbox intersects it (the per-
+    (band, column) windows of ops/binning.py). A chunk outside a column's
+    window provably covers none of its pixels, so column pruning is exact.
+    Pixels within a band are laid out x-major (pix = x*tile_h + y) so a
+    column tile is one contiguous sublane range of the output row.
+  - DEFERRED REDUCTION: the z-test carries per-lane (depth, chunk-id) best
+    records elementwise through the chunk loop and runs the two expensive
+    cross-lane reductions (depth argmin + winner lane) ONCE per column —
+    round 2 paid them per 1024-lane group; round 1 per 128-lane chunk
+    (where they were ~60% of kernel time).
+  - FUSED RECORD SELECT: after the z-loop, the kernel one-hot-matmuls each
+    pixel's winner render record out of the column's candidate chunks (the
+    MXU does the gather). Records are PRE-SPLIT into exactly-bf16 field
+    parts (_split_records: hi/lo pairs for 16-bit fields, 3 parts for the
+    full-precision affine coefficients), so ONE bf16 pass per chunk reads
+    all 48 fields with no rounding.
   - MULTI-WINDOW COVERAGE: a band whose candidate span exceeds the VMEM
-    window loops further DMA windows instead of silently truncating
-    (round-1 clamped to the window — wrong pixels for spatially incoherent
-    face orderings). Any input is now correct; incoherent orderings only
-    degrade speed.
+    window loops further DMA windows instead of silently truncating; any
+    face order is correct, incoherent orderings only degrade speed.
 
-Data layout: per-band candidates are a contiguous group-aligned slice of
-the setup array in ORIGINAL face order (sort-free binning); within a group,
-records are (16 fields x 1024 triangles) so field extraction is a sublane
-slice and the affine edge functions are dual-broadcast FMAs on the VPU
-(pixels from a (band_px,1) column, triangle coefficients from a (1,1024)
-row — no materialized (band_px, lanes) iotas). tri_id stays integer ->
-non-differentiable per the §9.6 contract; the fused select output carries
-the differentiable path (custom VJP scatter-adds record cotangents).
+Data layout: the flat setup/record arrays are chunk-blocked —
+(B, n_chunks, fields, 128) — so field extraction is a sublane slice and
+the affine edge functions are dual-broadcast FMAs on the VPU (pixels from
+a (col_px, 1) column, triangle coefficients from a (1, 128) row). tri_id
+stays integer -> non-differentiable per the §9.6 contract; the fused
+select output carries the differentiable path (custom VJP runs the matmul
+ADJOINT of the select, no scatter).
 
-Tie rule: equal depth resolves to the lowest lane within a group (= lowest
-face id, original order) and strict < across groups — matching the oracle.
+Tie rule: the carried chunk-id best keeps the EARLIEST chunk at equal
+depth (strict <), and the final cross-lane reduction takes the lowest
+(chunk*128 + lane) among depth-minimal lanes — together: lowest face id
+in original order, exactly the oracle's rule.
 """
 
 from __future__ import annotations
@@ -49,12 +55,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from facerecon_tpu.ops.binning import SETUP_WIDTH, bin_triangles_static
 
-_CHUNK = 128            # triangles per chunk (= base lane count)
-_GRP = 8                # chunks fused side-by-side on the lane axis
-_GLANES = _GRP * _CHUNK  # 1024 lanes per eval step
-_WINDOW = 16            # groups per DMA window (= 128 chunks, 1 MB scratch)
-_HEAD = 2               # groups in the eager head DMA (covers typical bands)
-_MID = 2                # groups in the second eager DMA (gn in (2,4])
+_CHUNK = 128            # triangles per chunk (window-granularity unit)
+_WINDOW = 64            # chunks per DMA window (524 KB setup scratch);
+                        # covers the p99 band span of a ±5deg-roll scene at
+                        # 224px, so the slow multi-window fallback is rare —
+                        # supers/segments beyond a band's span are
+                        # pl.when-predicated away, so window capacity is
+                        # nearly free
+_SEG = 16               # chunks per window-0 DMA segment (2 supers each)
+_BGRP = 8               # chunks per eval super / backward group (1024 lanes)
+_GLANES = _BGRP * _CHUNK  # super / backward group lane width
 _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
 _FIELDS = 24            # caller-facing render-attribute record width
 _RFIELDS = 48           # pre-split select record width (see _split_records)
@@ -63,208 +73,233 @@ _OUT_F = 56             # packed bf16 output row: sel 48 | pos 3 | z 2 | pad
 
 def padded_rows(n_faces: int) -> int:
     """Static row count of the padded setup/record arrays for n_faces:
-    whole groups plus a full DMA window of slack so fixed-size per-band
-    fetches stay in bounds for every window of every band."""
-    ngrp = (n_faces + _GLANES - 1) // _GLANES + _WINDOW
-    return ngrp * _GLANES
+    whole chunks plus a full DMA window of slack (fixed-size per-band
+    fetches stay in bounds for every window of every band), rounded to the
+    backward kernel's 8-chunk group so its reshape stays whole."""
+    chunks = (n_faces + _CHUNK - 1) // _CHUNK + _WINDOW
+    chunks = (chunks + _BGRP - 1) // _BGRP * _BGRP
+    return chunks * _CHUNK
 
 
-def _kernel(glo_ref, gn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
+def _kernel(blo_ref, bn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
             band_px: int, with_select: bool):
     """Per (image, band) program.
 
-    Phase 1 (z-test): DMA the band's candidate window(s) of setup records
-    HBM->VMEM and keep a running (depth, position) winner per pixel.
-    Phase 2 (select, optional): one-hot-matmul each pixel's winner render
-    record out of the record window(s), which were DMA'd during phase 1.
+    Phase 1 (z-test): DMA the band's candidate chunk window HBM->VMEM in
+    16-chunk segments, then run STATICALLY UNROLLED, pl.when-PREDICATED
+    1024-lane "super" evals (8 chunks each) at static scratch offsets.
+    Each super keeps the per-band (depth, face) best in tiny (band_px, 1)
+    scratch carries via one cross-lane reduction pair. No vector state
+    ever rides a fori_loop: a vector-carried loop construct costs ~1.1 us
+    PER ITERATION in VMEM round-trips (measured round 3) and a fori body
+    cannot be predicated away.
+    Phase 2 (select, optional): per live super, one one-hot MXU dot over
+    the matching 1024-lane slab of the lane-transposed record scratch.
+
+    Segment/super alignment: segments are 16 chunks (2 supers); super s is
+    live iff bn > s*8, segment k is DMA'd iff bn > k*16 — a live super's
+    rows are always DMA'd, and rows beyond bn inside a DMA'd segment hold
+    neighboring bands' chunks or dead padding, both safe to evaluate (a
+    chunk outside this band's window provably covers none of its pixels;
+    dead padding never covers and its records are zeros).
 
     Scalars are flattened to (B, n_bands): a short trailing dim would pad
-    to 128 lanes in SMEM (64x memory blowup).
+    to 128 lanes in SMEM.
     """
     if with_select:
-        rec_hbm, packed_ref, scr_s, scr_r, sem = rest
+        (rec_hbm, packed_ref, scr_s, scr_r, scr_zb, scr_pb, scr_acc,
+         sem) = rest
     else:
-        pos_ref, z_ref, scr_s, sem = rest
+        pos_ref, z_ref, scr_s, scr_zb, scr_pb, sem = rest
     b = pl.program_id(0)
     t = pl.program_id(1)
-    glo = glo_ref[b, t]          # first candidate group (global index)
-    gn = gn_ref[b, t]            # live group count (may exceed _WINDOW)
+    blo = blo_ref[b, t]          # first candidate chunk (global index)
+    bn = bn_ref[b, t]            # band's live chunk count (may exceed window)
 
-    def dma(hbm, scr, wbase, lo, size, s):
+    def dma_t(hbm, scr, wbase, lo, size, s):
+        # both setup and records are LANE-TRANSPOSED in HBM — (B, fields,
+        # rows) — so a window segment lands as (fields, size*128) with its
+        # chunks side-by-side on lanes: supers read static 1024-lane slabs
         return pltpu.make_async_copy(
-            hbm.at[b, pl.ds(glo + wbase + lo, size)],
-            scr.at[pl.ds(lo, size)], sem.at[s])
+            hbm.at[b, :, pl.ds((blo + wbase + lo) * _CHUNK, size * _CHUNK)],
+            scr.at[:, pl.ds(lo * _CHUNK, size * _CHUNK)], sem.at[s])
 
-    # window-0 transfers, sized to the common case: head (2 groups) always,
-    # mid (2 more) when the band needs them, tail (rest of the window) only
-    # for wide spans — typical bands move 128-256 KB, not the whole 1 MB.
-    head = dma(setup_hbm, scr_s, 0, 0, _HEAD, 0)
-    head.start()
-    has_mid = gn > _HEAD
-    has_tail = gn > _HEAD + _MID
-
-    @pl.when(has_mid)
-    def _():
-        dma(setup_hbm, scr_s, 0, _HEAD, _MID, 1).start()
-
-    @pl.when(has_tail)
-    def _():
-        dma(setup_hbm, scr_s, 0, _HEAD + _MID,
-            _WINDOW - _HEAD - _MID, 2).start()
-
+    n_seg = _WINDOW // _SEG
+    segs = []
+    for k in range(n_seg):
+        d = dma_t(setup_hbm, scr_s, 0, k * _SEG, _SEG, k)
+        if k == 0:
+            d.start()
+        else:
+            pl.when(bn > k * _SEG)(lambda d=d: d.start())
+        segs.append(d)
     if with_select:
-        # record window DMAs overlap phase-1 compute
-        rhead = dma(rec_hbm, scr_r, 0, 0, _HEAD, 3)
-        rhead.start()
+        rsegs = []
+        for k in range(n_seg):
+            d = dma_t(rec_hbm, scr_r, 0, k * _SEG, _SEG, n_seg + k)
+            if k == 0:
+                d.start()
+            else:
+                pl.when(bn > k * _SEG)(lambda d=d: d.start())
+            rsegs.append(d)
 
-        @pl.when(has_mid)
-        def _():
-            dma(rec_hbm, scr_r, 0, _HEAD, _MID, 4).start()
-
-        @pl.when(has_tail)
-        def _():
-            dma(rec_hbm, scr_r, 0, _HEAD + _MID,
-                _WINDOW - _HEAD - _MID, 5).start()
-
-    # pixel coordinates as a (band_px, 1) column — broadcast across lanes
-    # inside the affine ops (materializing (band_px, GLANES) iotas costs
-    # ~6 MB of vregs/VMEM and spills)
+    # pixel coordinates, y-major within the band (pure-reshape unband):
+    # (band_px, 1) columns broadcast against (1, 1024) coefficient rows
     pix_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, 1), 0)
     px = (pix_i % tile_w).astype(jnp.float32) + 0.5
-    py = (pix_i // tile_w).astype(jnp.float32) + jnp.float32(t * tile_h) + 0.5
-    # f32 lane indices (1, GLANES): cross-lane min is native for f32 but
-    # emulated (~10x slower) for int32; lane values (<1024) are exact in f32
+    py = ((pix_i // tile_w).astype(jnp.float32)
+          + jnp.float32(t * tile_h) + 0.5)
+    sup_lanes = _BGRP * _CHUNK
     lane_f = jax.lax.broadcasted_iota(
-        jnp.int32, (1, _GLANES), 1).astype(jnp.float32)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, _GLANES), 1)
+        jnp.int32, (1, sup_lanes), 1).astype(jnp.float32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, sup_lanes), 1)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
 
-    def eval_group(g, carry, wbase):
-        """One 1024-triangle group at window-relative index g (traced)."""
-        zbest, posbest = carry
-        c = scr_s[g]                              # (16 fields, GLANES tris)
-        # anchored dual-broadcast affine eval -> (band_px, GLANES)
-        qx = px - c[9:10]
-        qy = py - c[10:11]
-        e0 = c[0:1] * qx + c[1:2] * qy + c[2:3]
-        e1 = c[3:4] * qx + c[4:5] * qy + c[5:6]
-        ez = c[6:7] * qx + c[7:8] * qy + c[8:9]
+    scr_zb[...] = jnp.full((band_px, 1), jnp.inf, jnp.float32)
+    scr_pb[...] = jnp.full((band_px, 1), -1, jnp.int32)
+
+    def eval_block(cf, base_chunk, lanes, lf):
+        """Evaluate `lanes` candidate triangles (field getter cf) against
+        the whole band and merge into the scratch (depth, face id) best.
+        Tie rule: within a block the lowest lane wins (= lowest face id);
+        across blocks strict < keeps the earliest (= lowest face id,
+        blocks ascend in chunk order)."""
+        qx = px - cf(9)
+        qy = py - cf(10)
+        e0 = cf(0) * qx + cf(1) * qy + cf(2)
+        e1 = cf(3) * qx + cf(4) * qy + cf(5)
+        ez = cf(6) * qx + cf(7) * qy + cf(8)
         cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
         zm = jnp.where(cov, ez, jnp.inf)
-        zmin = jnp.min(zm, axis=1, keepdims=True)            # (band_px, 1)
-        win_f = jnp.min(jnp.where(zm == zmin, lane_f, 3e38),
+        zmin = jnp.min(zm, axis=1, keepdims=True)        # (band_px, 1)
+        win_f = jnp.min(jnp.where(zm == zmin, lf, 3e38),
                         axis=1, keepdims=True)
-        better = zmin < zbest
-        zbest = jnp.where(better, zmin, zbest)
-        posbest = jnp.where(
-            better,
-            (glo + wbase + g) * _GLANES + win_f.astype(jnp.int32),
-            posbest)
-        return zbest, posbest
+        zb = scr_zb[...]
+        better = zmin < zb
+        scr_zb[...] = jnp.where(better, zmin, zb)
+        pos = base_chunk * _CHUNK + win_f.astype(jnp.int32)
+        scr_pb[...] = jnp.where(better, pos, scr_pb[...])
 
-    init = (jnp.full((band_px, 1), jnp.inf, jnp.float32),
-            jnp.full((band_px, 1), -1, jnp.int32))
-    gn0 = jnp.minimum(gn, _WINDOW)               # live groups in window 0
+    # wait the segments (all up front; conditionals mirror the starts)
+    for k in range(n_seg):
+        if k == 0:
+            segs[k].wait()
+        else:
+            pl.when(bn > k * _SEG)(lambda d=segs[k]: d.wait())
 
-    # ONE loop with in-body waits at the head/mid/tail DMA boundaries:
-    # separate fori constructs per DMA segment cost ~µs each in fixed
-    # overhead, which dominates at 2-3 live groups per band
-    def eval_body(g, carry):
-        @pl.when(g == _HEAD)
-        def _():
-            dma(setup_hbm, scr_s, 0, _HEAD, _MID, 1).wait()
+    # window-0 supers: static slabs, predicated on liveness
+    for s in range(_WINDOW // _BGRP):
+        def sup(s=s):
+            cf = lambda f: scr_s[f:f + 1,
+                                 s * sup_lanes:(s + 1) * sup_lanes]
+            eval_block(cf, blo + s * _BGRP, sup_lanes, lane_f)
 
-        @pl.when(g == _HEAD + _MID)
-        def _():
-            dma(setup_hbm, scr_s, 0, _HEAD + _MID,
-                _WINDOW - _HEAD - _MID, 2).wait()
+        if s == 0:
+            sup()
+        else:
+            pl.when(bn > s * _BGRP)(sup)
 
-        return eval_group(g, carry, 0)
+    # fallback beyond the window (spatially incoherent face order):
+    # sequential window DMA + per-chunk narrow evals, scalar loop state
+    # only. Correctness over speed.
+    needs = bn > _WINDOW
 
-    head.wait()
-    carry = jax.lax.fori_loop(0, gn0, eval_body, init)
+    @pl.when(needs)
+    def _():
+        lane_cf = lane_c.astype(jnp.float32)
 
-    # overflow windows (rare: spatially incoherent face order / extreme
-    # rotation). Sequential DMA + eval; correctness over speed.
-    n_win = (gn + _WINDOW - 1) // _WINDOW
+        def chunk_at(rel, chunk_abs):
+            cf = lambda f: scr_s[f:f + 1,
+                                 pl.ds(pl.multiple_of(rel * _CHUNK,
+                                                      _CHUNK), _CHUNK)]
+            eval_block(cf, chunk_abs, _CHUNK, lane_cf)
+            return 0
 
-    def win_body(w, carry):
-        wbase = w * _WINDOW
-        d = dma(setup_hbm, scr_s, wbase, 0, _WINDOW, 0)
-        d.start()
-        d.wait()
-        nw = jnp.minimum(gn - wbase, _WINDOW)
-        return jax.lax.fori_loop(
-            0, nw, lambda g, c: eval_group(g, c, wbase), carry)
+        n_win = (bn + _WINDOW - 1) // _WINDOW
 
-    zbest, posbest = jax.lax.fori_loop(1, n_win, win_body, carry)
+        def win_body(w, _):
+            wbase = w * _WINDOW
+            d = dma_t(setup_hbm, scr_s, wbase, 0, _WINDOW, 0)
+            d.start()
+            d.wait()
+            nw = jnp.minimum(bn - wbase, _WINDOW)
+            jax.lax.fori_loop(
+                0, nw, lambda i, _: chunk_at(i, blo + wbase + i), 0)
+            return 0
+
+        jax.lax.fori_loop(1, n_win, win_body, 0)
+
+    zbuf = scr_zb[...]
+    posbest = scr_pb[...]                    # -1 where never covered
 
     if not with_select:
         pos_ref[0, 0] = posbest
-        z_ref[0, 0] = zbest
+        z_ref[0, 0] = zbuf
         return
 
     # ---- phase 2: one-hot MXU select of the winner's render record ----
-    # The dot's cost is the stationary-weight load, proportional to
-    # passes x K — the records are PRE-SPLIT into exactly-bf16-representable
-    # field parts (hi/lo pairs; 3 parts for the pixel-scale anchors), so a
-    # SINGLE bf16 pass reads every field exactly (measured: one pass of
-    # N=48 costs the same as one pass of N=16; three passes cost 3x).
-    # Restricting the loop to the winner group range costs nothing but
-    # prunes nothing on single-layer surfaces — kept for the pathological
-    # multi-layer case.
-    pv = jnp.where(posbest >= 0, posbest, jnp.int32(2 ** 30))
-    g_min = jnp.min(pv) // _GLANES - glo            # window-relative
-    g_max = jnp.max(jnp.where(posbest >= 0, posbest, -1)) // _GLANES - glo
+    # per live super: onehot (band_px, 1024) @ record slab (48, 1024)^T.
+    # Records are PRE-SPLIT into exactly-bf16 parts so a SINGLE bf16 pass
+    # reads every field exactly; rows beyond bn inside a DMA'd segment are
+    # real neighboring records or zero padding, and the onehot (winner
+    # face ids only) never selects them.
+    for k in range(n_seg):
+        if k == 0:
+            rsegs[k].wait()
+        else:
+            pl.when(bn > k * _SEG)(lambda d=rsegs[k]: d.wait())
 
-    def sel_group(g, acc, wbase):
-        base = (glo + wbase + g) * _GLANES
-        onehot = ((posbest - base) == lane_i).astype(jnp.bfloat16)
-        return acc + jax.lax.dot_general(
-            onehot, scr_r[g], (((1,), (1,)), ((), ())),
+    scr_acc[...] = jnp.zeros((band_px, _RFIELDS), jnp.float32)
+
+    def sel_block(rec, base_chunk, lanes, li):
+        onehot = ((posbest - base_chunk * _CHUNK) == li).astype(
+            jnp.bfloat16)
+        scr_acc[...] = scr_acc[...] + jax.lax.dot_general(
+            onehot, rec, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    # every eagerly-started record DMA is waited BEFORE the loop (the data
-    # arrived during phase-1 compute; a wait on a finished transfer is a
-    # cheap semaphore op, and semaphores must balance even when the winner
-    # range skips groups)
-    acc = jnp.zeros((band_px, _RFIELDS), jnp.float32)
-    rhead.wait()
+    for s in range(_WINDOW // _BGRP):
+        def ssel(s=s):
+            sel_block(scr_r[:, s * sup_lanes:(s + 1) * sup_lanes],
+                      blo + s * _BGRP, sup_lanes, lane_i)
 
-    @pl.when(has_mid)
+        if s == 0:
+            ssel()
+        else:
+            pl.when(bn > s * _BGRP)(ssel)
+
+    @pl.when(needs)
     def _():
-        dma(rec_hbm, scr_r, 0, _HEAD, _MID, 4).wait()
+        def sel_chunk(rel, chunk_abs):
+            rec = scr_r[:, pl.ds(pl.multiple_of(rel * _CHUNK, _CHUNK),
+                                 _CHUNK)]
+            sel_block(rec, chunk_abs, _CHUNK, lane_c)
+            return 0
 
-    @pl.when(has_tail)
-    def _():
-        dma(rec_hbm, scr_r, 0, _HEAD + _MID,
-            _WINDOW - _HEAD - _MID, 5).wait()
+        n_win = (bn + _WINDOW - 1) // _WINDOW
 
-    acc = jax.lax.fori_loop(
-        jnp.maximum(g_min, 0), jnp.minimum(g_max + 1, gn0),
-        lambda g, a: sel_group(g, a, 0), acc)
+        def sel_win_body(w, _):
+            wbase = w * _WINDOW
+            d = dma_t(rec_hbm, scr_r, wbase, 0, _WINDOW, 0)
+            d.start()
+            d.wait()
+            nw = jnp.minimum(bn - wbase, _WINDOW)
+            jax.lax.fori_loop(
+                0, nw, lambda i, _: sel_chunk(i, blo + wbase + i), 0)
+            return 0
 
-    def sel_win_body(w, acc):
-        wbase = w * _WINDOW
-        d = dma(rec_hbm, scr_r, wbase, 0, _WINDOW, 3)
-        d.start()
-        d.wait()
-        lo_g = jnp.maximum(g_min - wbase, 0)
-        hi_g = jnp.minimum(jnp.minimum(g_max + 1, gn) - wbase, _WINDOW)
-        return jax.lax.fori_loop(
-            lo_g, hi_g, lambda g, a: sel_group(g, a, wbase), acc)
-
-    acc = jax.lax.fori_loop(1, n_win, sel_win_body, acc)
+        jax.lax.fori_loop(1, n_win, sel_win_body, 0)
 
     # ONE packed bf16 output row per pixel: separate narrow outputs pad
     # their minor dim to 128 lanes in the tiled HBM layout (a (.., 1) f32
-    # plane costs 128x its size — batch-256 overflowed HBM by gigabytes of
-    # padding). All sel values are exact bf16 by construction; pos packs
-    # into 3 byte-valued fields and z into a bf16 hi/lo pair.
+    # plane costs 128x its size). All sel values are exact bf16 by
+    # construction; pos packs into 3 byte-valued fields, z into a bf16
+    # hi/lo pair.
     posu = posbest + 1                       # 0 = background
     p0 = (posu & 255).astype(jnp.bfloat16)
     p1 = ((posu >> 8) & 255).astype(jnp.bfloat16)
     p2 = (posu >> 16).astype(jnp.bfloat16)
-    zsafe = jnp.where(posbest >= 0, zbest, 0.0)
+    zsafe = jnp.where(posbest >= 0, zbuf, 0.0)
     zhi_f = jax.lax.bitcast_convert_type(
         jax.lax.bitcast_convert_type(zsafe, jnp.uint32)
         & jnp.uint32(0xFFFF0000), jnp.float32)     # opaque truncation —
@@ -272,7 +307,7 @@ def _kernel(glo_ref, gn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
     zhi = zhi_f.astype(jnp.bfloat16)
     zlo = (zsafe - zhi_f).astype(jnp.bfloat16)
     packed_ref[0, 0] = jnp.concatenate(
-        [acc.astype(jnp.bfloat16), p0, p1, p2, zhi, zlo,
+        [scr_acc[...].astype(jnp.bfloat16), p0, p1, p2, zhi, zlo,
          jnp.zeros((band_px, _OUT_F - _RFIELDS - 5), jnp.bfloat16)],
         axis=1)
 
@@ -286,15 +321,6 @@ def is_available() -> bool:
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
-
-
-def _group_layout(arr_flat):
-    """(B, rows, F) -> (B, n_groups, F fields, GLANES) — fields on
-    sublanes, triangles on lanes, 8 chunks side-by-side per group."""
-    bsz, rows, fields = arr_flat.shape
-    ngrp = rows // _GLANES
-    a = arr_flat.reshape(bsz, ngrp, _GRP, _CHUNK, fields)
-    return a.transpose(0, 1, 4, 2, 3).reshape(bsz, ngrp, fields, _GLANES)
 
 
 def _trunc_bf16(x):
@@ -352,22 +378,22 @@ def _split_records(records):
         [rad_hi, rad_lo, w0p, w1p, w2p, *x0, *y0, pad], axis=-1)
 
 
-def _band_windows(verts_ndc, faces, height, width, tile_h, tile_w,
+def _band_windows(verts_ndc, faces, height, width, tile_h,
                   cull_backfaces):
-    """Run the sort-free static binning and convert its chunk-level windows
-    to group-aligned (glo, gn) plus the padded flat setup array."""
+    """Run the sort-free static binning and derive the per-band contiguous
+    chunk windows (blo, bn) (B, n_bands) plus the padded flat setup
+    array. Column windows were tried in round 3 and measured useless: the
+    contiguous-window constraint makes a column's span essentially equal
+    to the band's on real meshes (chunk x-extents ~1/3 of the face width
+    interleave across columns)."""
     bsz = verts_ndc.shape[0]
     setup = jax.vmap(
         lambda v: bin_triangles_static(v, faces, height, width, tile_h,
                                        _CHUNK, cull_backfaces,
-                                       tile_w=tile_w))(verts_ndc)
+                                       tile_w=width))(verts_ndc)
     f = setup.coeffs.shape[1]
-    lo_chunk = setup.band_lo[:, :, 0]            # (B, n_bands)
-    n_chunks = setup.n_chunks[:, :, 0]
-    glo = lo_chunk // _GRP
-    ghi = (lo_chunk + n_chunks + _GRP - 1) // _GRP
-    gn = jnp.where(n_chunks > 0, ghi - glo, 0).astype(jnp.int32)
-    glo = jnp.where(n_chunks > 0, glo, 0).astype(jnp.int32)
+    blo = setup.band_lo[:, :, 0].astype(jnp.int32)       # (B, n_bands)
+    bn = setup.n_chunks[:, :, 0].astype(jnp.int32)
 
     rows = padded_rows(f)
     coeffs = jnp.pad(setup.coeffs, ((0, 0), (0, rows - f),
@@ -376,7 +402,17 @@ def _band_windows(verts_ndc, faces, height, width, tile_h, tile_w,
     if rows - f:
         coeffs = coeffs.at[:, f:, 2].set(-3e38)
         coeffs = coeffs.at[:, f:, 5].set(-3e38)
-    return glo, gn, coeffs
+    return blo, bn, coeffs
+
+
+def _unband(arr, bsz, n_bands, tile_h, tile_w, height, width, fields=None):
+    """Invert the kernel's y-major band layout back to (B, [F,] H, W) —
+    a pure reshape + crop."""
+    if fields is None:
+        a = arr.reshape(bsz, n_bands * tile_h, tile_w)
+        return a[:, :height, :width]
+    a = arr.reshape(bsz, fields, n_bands * tile_h, tile_w)
+    return a[:, :, :height, :width]
 
 
 @functools.partial(
@@ -388,32 +424,32 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
 
     verts_ndc (B,N,3), faces (F,3) -> (tri_id (B,H,W) i32 winning face index
     in ORIGINAL face order (-1 = background), setup records (B,rows,16) in
-    face order, zbuf (B,H,W) f32, (glo, gn) group windows).
+    face order, zbuf (B,H,W) f32, (blo, bn) band chunk windows).
     """
     bsz = verts_ndc.shape[0]
-    # pixels live on SUBLANES (8-multiple suffices): padding the row to a
-    # 128-lane column tile wasted 14% of all eval/select work at 224
     tile_w = ((width + 7) // 8) * 8
     n_bands = (height + tile_h - 1) // tile_h
     band_px = tile_h * tile_w
 
-    glo, gn, coeffs = _band_windows(verts_ndc, faces, height, width,
-                                    tile_h, tile_w, cull_backfaces)
-    setup_g = _group_layout(coeffs)
+    blo, bn, coeffs = _band_windows(verts_ndc, faces, height, width,
+                                    tile_h, cull_backfaces)
+    setup_t = jnp.transpose(coeffs, (0, 2, 1))   # (B, 16 fields, rows)
 
     pos, zbuf = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
                           band_px=band_px, with_select=False),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,              # group window lo, counts
+            num_scalar_prefetch=2,      # blo, bn
             grid=(bsz, n_bands),
             in_specs=[
                 # full array stays in HBM; the kernel DMAs per-band slices
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
-                pltpu.VMEM((_WINDOW, _ROW_PAD, _GLANES), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.VMEM((_ROW_PAD, _WINDOW * _CHUNK), jnp.float32),
+                pltpu.VMEM((band_px, 1), jnp.float32),
+                pltpu.VMEM((band_px, 1), jnp.int32),
+                pltpu.SemaphoreType.DMA((_WINDOW // _SEG,)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, band_px, 1),
@@ -429,14 +465,14 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
             jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(glo, gn, setup_g)
+    )(blo, bn, setup_t)
 
-    pos = pos.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
-    zbuf = zbuf.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
+    pos = _unband(pos, bsz, n_bands, tile_h, tile_w, height, width)
+    zbuf = _unband(zbuf, bsz, n_bands, tile_h, tile_w, height, width)
     # positions beyond the live face count are dead padding (can never win
     # — but guard anyway); pos IS the face id in original order
     pos = jnp.where(pos < faces.shape[0], pos, -1)
-    return pos, coeffs, zbuf, (glo, gn)
+    return pos, coeffs, zbuf, (blo, bn)
 
 
 @functools.partial(
@@ -446,17 +482,20 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
                 tile_h: int, cull_backfaces: bool = False):
     """Forward of the fused raster+select: records (B,rows,24) differentiable
     render attributes in face order (rows = padded_rows(F)), verts_ndc
-    non-differentiable positions -> (tri_id (B,H,W), sel (B,H,W,48)
-    pre-split winner record, zbuf (B,H,W))."""
+    non-differentiable positions -> (tri_id (B,H,W), sel (B,48,H,W)
+    pre-split winner record, zbuf (B,H,W), band windows)."""
     bsz = verts_ndc.shape[0]
-    tile_w = ((width + 7) // 8) * 8     # sublane-aligned, not lane-padded
+    tile_w = ((width + 7) // 8) * 8
     n_bands = (height + tile_h - 1) // tile_h
     band_px = tile_h * tile_w
 
-    glo, gn, coeffs = _band_windows(verts_ndc, faces, height, width,
-                                    tile_h, tile_w, cull_backfaces)
-    setup_g = _group_layout(coeffs)
-    rec_g = _group_layout(_split_records(records))
+    blo, bn, coeffs = _band_windows(verts_ndc, faces, height, width,
+                                    tile_h, cull_backfaces)
+    # setup and records LANE-TRANSPOSED: (B, fields, rows) — a window DMA
+    # lands all its chunks side-by-side on lanes so supers/slabs read
+    # static 1024-lane slices
+    setup_t = jnp.transpose(coeffs, (0, 2, 1))
+    rec_t = jnp.transpose(_split_records(records), (0, 2, 1))
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
@@ -469,9 +508,12 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
                 pl.BlockSpec(memory_space=pl.ANY),   # records, HBM
             ],
             scratch_shapes=[
-                pltpu.VMEM((_WINDOW, _ROW_PAD, _GLANES), jnp.float32),
-                pltpu.VMEM((_WINDOW, _RFIELDS, _GLANES), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA((6,)),
+                pltpu.VMEM((_ROW_PAD, _WINDOW * _CHUNK), jnp.float32),
+                pltpu.VMEM((_RFIELDS, _WINDOW * _CHUNK), jnp.bfloat16),
+                pltpu.VMEM((band_px, 1), jnp.float32),
+                pltpu.VMEM((band_px, 1), jnp.int32),
+                pltpu.VMEM((band_px, _RFIELDS), jnp.float32),
+                pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, band_px, _OUT_F),
@@ -484,15 +526,16 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
                                  jnp.bfloat16),
         ],
         interpret=_interpret(),
-    )(glo, gn, setup_g, rec_g)[0]
+    )(blo, bn, setup_t, rec_t)[0]
 
     # ONE transpose to field-major (B, F, H, W): per-field slices of a
     # feature-minor array materialize (B,H,W,1)-shaped temps whose minor
     # dim pads 128x in the TPU tiled layout (4 GB apiece at 512x512);
     # field-major slices keep W minor and pad nothing
     packed = jnp.transpose(packed, (0, 3, 1, 2))
-    packed = packed.reshape(bsz, _OUT_F, n_bands * tile_h, tile_w)
-    packed = packed[:, :, :height, :width]
+    packed = _unband(packed.reshape(bsz, _OUT_F, n_bands * band_px),
+                     bsz, n_bands, tile_h, tile_w, height, width,
+                     fields=_OUT_F)
     pos = (packed[:, 48].astype(jnp.int32)
            + packed[:, 49].astype(jnp.int32) * 256
            + packed[:, 50].astype(jnp.int32) * 65536) - 1
@@ -504,10 +547,10 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
     pos = jnp.where(hit, pos, -1)
     prec = packed[:, :_RFIELDS].astype(jnp.float32)
     zbuf = jnp.where(hit, zbuf, jnp.inf)
-    # (glo, gn) ride along for the VJP residuals: re-binning in _rs_fwd
+    # (blo, bn) ride along for the VJP residuals: re-binning in _rs_fwd
     # would redo full triangle setup per training forward (nothing
     # guarantees CSE across the custom_vjp boundary)
-    return pos, prec, zbuf, glo, gn
+    return pos, prec, zbuf, blo, bn
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -534,23 +577,21 @@ def rasterize_select(records, verts_ndc, faces, height: int, width: int,
 
 def _rs_fwd(records, verts_ndc, faces, height, width, tile_h,
             cull_backfaces):
-    pos, prec, zbuf, glo, gn = _fused_impl(
+    pos, prec, zbuf, blo, bn = _fused_impl(
         records, jax.lax.stop_gradient(verts_ndc), faces,
         height=height, width=width, tile_h=tile_h,
         cull_backfaces=cull_backfaces)
-    return (pos, prec, zbuf), (pos, records.shape, glo, gn)
-
-
+    return (pos, prec, zbuf), (pos, records.shape, blo, bn)
 
 
 def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, out_ref, scr_pos, scr_g,
                  sem, *, band_px: int):
     """Backward of the one-hot select WITHOUT a scatter: the adjoint of
     sel = onehot @ rec is d_rec = onehot^T @ g — another one-hot matmul.
-    Per (image, group) program: accumulate over the bands whose candidate
-    window contains the group (2-3 on coherent meshes). This replaces the
-    XLA segment-sum scatter, which ran at ~element/cycle (~200 ms per
-    batch-32 train step); the MXU form is ~50x faster."""
+    Per (image, 8-chunk group) program: accumulate over the bands whose
+    candidate window intersects the group (2-3 on coherent meshes). This
+    replaces the XLA segment-sum scatter, which ran at ~element/cycle
+    (~200 ms per batch-32 train step); the MXU form is ~50x faster."""
     b = pl.program_id(0)
     g = pl.program_id(1)
     lo = blo_ref[b, g]
@@ -586,16 +627,17 @@ def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, out_ref, scr_pos, scr_g,
 
 @functools.partial(jax.jit,
                    static_argnames=("rows", "height", "width", "tile_h"))
-def _select_grad(pos, g_sel, glo, gn, *, rows: int, height: int, width: int,
+def _select_grad(pos, g_sel, blo, bn, *, rows: int, height: int, width: int,
                  tile_h: int):
-    """pos (B,H,W) winner ids, g_sel (B,48,H,W) cotangent, band windows ->
-    d attribute-records (B, rows, 16): radiance lo-fields 9:18 and corner
-    lo-fields 42:48 of the split layout, group-blocked matmul adjoint."""
+    """pos (B,H,W) winner ids, g_sel (B,48,H,W) cotangent, band chunk
+    windows -> d attribute-records (B, rows, 16): radiance lo-fields 9:18
+    and corner lo-fields of the split layout, group-blocked matmul
+    adjoint."""
     bsz = pos.shape[0]
-    # sublane-aligned like the forward: band_px is the matmul'S contraction
-    # dim here, so the old 128-lane rounding paid 12.5% extra MXU passes at
-    # 224 for columns whose pos is -1 (the HBM buffer still tiles to 128
-    # internally, but the DMA and the dot only touch the live columns)
+    # sublane-aligned like the forward: band_px is the matmul's contraction
+    # dim here, so 128-lane rounding would pay extra MXU passes for columns
+    # whose pos is -1 (the HBM buffer still tiles to 128 internally, but
+    # the DMA and the dot only touch the live columns)
     tile_w = ((width + 7) // 8) * 8
     band_px = tile_h * tile_w
     n_bands = (height + tile_h - 1) // tile_h
@@ -614,16 +656,16 @@ def _select_grad(pos, g_sel, glo, gn, *, rows: int, height: int, width: int,
     pad_w = tile_w - width
     g24 = jnp.pad(g24, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
     g_b = g24.reshape(bsz, _FIELDS, n_bands, band_px)
-    g_b = jnp.transpose(g_b, (0, 2, 1, 3))               # (B, nb, 16, band_px)
+    g_b = jnp.transpose(g_b, (0, 2, 1, 3))               # (B, nb, 24, band_px)
     pos_p = jnp.pad(pos, ((0, 0), (0, pad_h), (0, pad_w)),
                     constant_values=-1)
     pos_b = pos_p.reshape(bsz, n_bands, 1, band_px)
 
-    # per group: the contiguous range of bands whose candidate window
-    # contains it (every band on incoherent meshes — slow but correct)
+    # per 8-chunk group: the contiguous range of bands whose chunk window
+    # intersects it (every band on incoherent meshes — slow but correct)
     grp = jnp.arange(ngrp)[None, None, :]                # (1, 1, ngrp)
-    cover = ((glo[:, :, None] <= grp)
-             & (grp < (glo + gn)[:, :, None]))           # (B, nb, ngrp)
+    cover = ((blo[:, :, None] < (grp + 1) * _BGRP)
+             & (grp * _BGRP < (blo + bn)[:, :, None]))   # (B, nb, ngrp)
     any_c = jnp.any(cover, axis=1)
     first = jnp.argmax(cover, axis=1).astype(jnp.int32)
     last = (n_bands - 1
@@ -658,19 +700,20 @@ def _select_grad(pos, g_sel, glo, gn, *, rows: int, height: int, width: int,
         interpret=_interpret(),
     )(b_lo, b_hi, pos_b, g_b)[0]
 
-    # (B, ngrp, 16, GLANES) -> (B, rows, 16): inverse of _group_layout
-    grad = grad.reshape(bsz, ngrp, _FIELDS, _GRP, _CHUNK)
-    grad = grad.transpose(0, 1, 3, 4, 2).reshape(bsz, rows, _FIELDS)
+    # (B, ngrp, 16, GLANES) -> (B, rows, 16): inverse of _chunk_layout
+    # at 8-chunk granularity
+    grad = grad.reshape(bsz, ngrp, _FIELDS, _GLANES)
+    grad = grad.transpose(0, 1, 3, 2).reshape(bsz, rows, _FIELDS)
     return grad
 
 
 def _rs_bwd(height, width, tile_h, cull_backfaces, res, g):
-    pos, rec_shape, glo, gn = res
+    pos, rec_shape, blo, bn = res
     _, g_sel, _ = g                    # g_sel is field-major (B, 48, H, W)
     # hi split parts are staircases of the source value (zero derivative
     # a.e.), so only the LO fields carry the cotangent — _select_grad
     # gathers them and runs the matmul adjoint (no scatter)
-    grad = _select_grad(pos, g_sel, glo, gn, rows=rec_shape[1],
+    grad = _select_grad(pos, g_sel, blo, bn, rows=rec_shape[1],
                         height=height, width=width, tile_h=tile_h)
     return grad, None, None
 
