@@ -55,7 +55,8 @@ def main():
     assets = synthetic_bfm(cfg, seed=0)
     bfm = device_bfm(assets)
     rng = np.random.default_rng(0)
-    cv = jnp.asarray(sample_coeffs(rng, cfg, batch))
+    scale = float(os.environ.get("CSCALE", "0.3"))   # 0 = bench-like
+    cv = jnp.asarray(sample_coeffs(rng, cfg, batch, scale=scale))
 
     @jax.jit
     def prep(cv):
@@ -85,6 +86,13 @@ def main():
                              bfm.faces, height=h, width=w, tile_h=tile_h)
         return out[1][0, 0, 0, 0]   # one element of sel (dispatch-true)
 
+    def f_pos(vndc, records, seed):
+        # phase-1 only: setup DMA + eval + reductions, no records/select
+        pos, _, zb, _ = RP.rasterize_positions(
+            vndc * (1.0 + seed * 1e-30), bfm.faces, height=h, width=w,
+            tile_h=tile_h)
+        return jnp.sum(zb[:, ::64, ::64]) + pos[0, 0, 0].astype(jnp.float32)
+
     def f_shade(vndc, records, seed):
         pos, sel, zb = RP.rasterize_select(
             records * (1.0 + seed * 1e-30), vndc, bfm.faces, h, w, tile_h)
@@ -98,6 +106,7 @@ def main():
     only = os.environ.get("ONLY")
     probes = {"prep": ("prep(geom+pack)", f_prep),
               "bin": ("bin+layouts   ", f_bin),
+              "pos": ("pos-only kernel", f_pos),
               "kernel": ("fused kernel  ", f_kernel),
               "shade": ("kernel+shade  ", f_shade)}
     for key, (tag, fn) in probes.items():
