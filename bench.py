@@ -55,7 +55,8 @@ def render512():
         cs = coeffs.reshape(n_micro, micro, -1)
 
         def one(cv):
-            out = render_coeffs(split_coeff(cv, cfg), bfm, cfg)
+            out = render_coeffs(split_coeff(cv, cfg), bfm, cfg,
+                                inference=False)
             return jnp.mean(out.image, axis=(1, 2, 3))  # depend on shading
 
         means = jax.lax.map(one, cs)
@@ -99,7 +100,7 @@ def main():
     # serve the inference-fused model (BN folded, s2d stem — exact)
     from facerecon_tpu.pipeline import fuse_for_inference
     pipe, variables = fuse_for_inference(pipe, variables)
-    inner = make_reconstruct_fn(pipe)
+    inner = make_reconstruct_fn(pipe, inference=False)
 
     assert batch % micro == 0
     n_micro = batch // micro

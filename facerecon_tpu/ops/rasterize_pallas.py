@@ -69,6 +69,9 @@ _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
 _FIELDS = 24            # caller-facing render-attribute record width
 _RFIELDS = 48           # pre-split select record width (see _split_records)
 _OUT_F = 56             # packed bf16 output row: sel 48 | pos 3 | z 2 | pad
+_OUT_S = 16             # shade-mode output row: rgb hi/lo 6 | w0/w1 hi/lo 4
+                        # | pos 3 | z 2 | pad (the select record never
+                        # leaves VMEM; ~3.5x less HBM written per band)
 
 
 def padded_rows(n_faces: int) -> int:
@@ -82,8 +85,12 @@ def padded_rows(n_faces: int) -> int:
 
 
 def _kernel(blo_ref, bn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
-            band_px: int, with_select: bool):
-    """Per (image, band) program.
+            band_px: int, mode: str):
+    """Per (image, band) program. mode: "pos" (phase 1 only), "select"
+    (phase 2 emits the winner's 48-field pre-split record — the
+    differentiable training path), or "shade" (phase 2 + in-kernel
+    barycentric + radiance blend; emits 16 fields — the inference path,
+    where the wide record never leaves VMEM).
 
     Phase 1 (z-test): DMA the band's candidate chunk window HBM->VMEM in
     16-chunk segments, then run STATICALLY UNROLLED, pl.when-PREDICATED
@@ -106,6 +113,7 @@ def _kernel(blo_ref, bn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
     Scalars are flattened to (B, n_bands): a short trailing dim would pad
     to 128 lanes in SMEM.
     """
+    with_select = mode != "pos"
     if with_select:
         (rec_hbm, packed_ref, scr_s, scr_r, scr_zb, scr_pb, scr_acc,
          sem) = rest
@@ -300,12 +308,44 @@ def _kernel(blo_ref, bn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
     p1 = ((posu >> 8) & 255).astype(jnp.bfloat16)
     p2 = (posu >> 16).astype(jnp.bfloat16)
     zsafe = jnp.where(posbest >= 0, zbuf, 0.0)
-    zhi_f = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(zsafe, jnp.uint32)
-        & jnp.uint32(0xFFFF0000), jnp.float32)     # opaque truncation —
-    # x - f32(bf16(x)) folds to 0 under --xla_allow_excess_precision
-    zhi = zhi_f.astype(jnp.bfloat16)
-    zlo = (zsafe - zhi_f).astype(jnp.bfloat16)
+    zhi, zlo = _split2(zsafe)
+
+    if mode == "shade":
+        # finish shading IN-KERNEL from the selected record (same float
+        # ops, same order as ops/render._shade_from_sel reading the packed
+        # fields — each pre-split part is exactly bf16, so the f32 column
+        # sums below equal the field-reconstruction sums exactly). The
+        # 48-wide record never leaves VMEM; the output row carries only
+        # [rgb hi/lo 6 | w0/w1 hi/lo 4 | pos 3 | z 2 | pad] — hi+lo
+        # reconstruction keeps >=16 significand bits, the same precision
+        # the select path's radiance fields already carry.
+        acc = scr_acc[...]
+
+        def col(k):
+            return acc[:, k:k + 1]
+
+        def w(k):
+            return col(18 + k) + col(24 + k) + col(30 + k)
+
+        x0 = col(36) + col(37) + col(38)
+        y0 = col(39) + col(40) + col(41)
+        qx = px - x0
+        qy = py - y0
+        w0 = w(0) * qx + w(1) * qy + w(2)
+        w1 = w(3) * qx + w(4) * qy + w(5)
+        w2 = 1.0 - w0 - w1
+        parts = []
+        for c in range(3):
+            cc = (w0 * (col(c) + col(c + 9)) + w1 * (col(c + 3)
+                  + col(c + 12)) + w2 * (col(c + 6) + col(c + 15)))
+            parts.extend(_split2(cc))
+        for v in (w0, w1):
+            parts.extend(_split2(v))
+        packed_ref[0, 0] = jnp.concatenate(
+            [*parts, p0, p1, p2, zhi, zlo,
+             jnp.zeros((band_px, _OUT_S - 15), jnp.bfloat16)], axis=1)
+        return
+
     packed_ref[0, 0] = jnp.concatenate(
         [scr_acc[...].astype(jnp.bfloat16), p0, p1, p2, zhi, zlo,
          jnp.zeros((band_px, _OUT_F - _RFIELDS - 5), jnp.bfloat16)],
@@ -367,15 +407,25 @@ def _split_records(records):
               significand bits; sliver triangles have O(1/area)
               coefficients, so 16 bits exploded their barycentrics)
       36:39  anchor x0 in 3 parts  39:42  anchor y0 in 3 parts
-      42:48  pad
+      42:45  bytes of (row index + 1) — selecting these yields the winner
+             position in the SAME orientation as the select output, which
+             the transposed shade-mode select needs (phase 1's posbest is
+             a sublane column; the shade output is lane rows). 0 = none.
+      45:48  pad
     """
     rad_hi, rad_lo = _split2(records[..., 0:9])
     w0p, w1p, w2p = _split3(records[..., 9:15])
     x0 = _split3(records[..., 15:16])
     y0 = _split3(records[..., 16:17])
-    pad = jnp.zeros((*records.shape[:-1], 6), jnp.bfloat16)
+    rows = records.shape[-2]
+    rid = jnp.arange(1, rows + 1, dtype=jnp.int32)[None, :, None]
+    idb = jnp.concatenate(
+        [rid & 255, (rid >> 8) & 255, rid >> 16],
+        axis=-1).astype(jnp.bfloat16)                # byte-valued: exact
+    idb = jnp.broadcast_to(idb, (*records.shape[:-1], 3))
+    pad = jnp.zeros((*records.shape[:-1], 3), jnp.bfloat16)
     return jnp.concatenate(
-        [rad_hi, rad_lo, w0p, w1p, w2p, *x0, *y0, pad], axis=-1)
+        [rad_hi, rad_lo, w0p, w1p, w2p, *x0, *y0, idb, pad], axis=-1)
 
 
 def _band_windows(verts_ndc, faces, height, width, tile_h,
@@ -437,7 +487,7 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
 
     pos, zbuf = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
-                          band_px=band_px, with_select=False),
+                          band_px=band_px, mode="pos"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,      # blo, bn
             grid=(bsz, n_bands),
@@ -499,7 +549,7 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
-                          band_px=band_px, with_select=True),
+                          band_px=band_px, mode="select"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(bsz, n_bands),
@@ -551,6 +601,91 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
     # would redo full triangle setup per training forward (nothing
     # guarantees CSE across the custom_vjp boundary)
     return pos, prec, zbuf, blo, bn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "cull_backfaces"))
+def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
+                     tile_h: int, cull_backfaces: bool = False):
+    """Fused raster + select + IN-KERNEL shading — the inference hot path.
+
+    Same phase 1/2 as rasterize_select, but the winner's record is blended
+    into the final per-pixel color and barycentrics inside the kernel
+    (mode="shade"), so only 16 output fields per pixel reach HBM instead
+    of the 48-field record plus a separate shade stage. NON-differentiable
+    (inference only — training uses rasterize_select, whose custom VJP is
+    the select's matmul adjoint).
+
+    Returns (tri_id (B,H,W) i32, color (B,H,W,3) f32, bary (B,H,W,3),
+    zbuf (B,H,W)).
+    """
+    records = jax.lax.stop_gradient(records)
+    verts_ndc = jax.lax.stop_gradient(verts_ndc)
+    bsz = verts_ndc.shape[0]
+    tile_w = ((width + 7) // 8) * 8
+    n_bands = (height + tile_h - 1) // tile_h
+    band_px = tile_h * tile_w
+
+    blo, bn, coeffs = _band_windows(verts_ndc, faces, height, width,
+                                    tile_h, cull_backfaces)
+    setup_t = jnp.transpose(coeffs, (0, 2, 1))
+    rec_t = jnp.transpose(_split_records(records), (0, 2, 1))
+
+    packed = pl.pallas_call(
+        functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
+                          band_px=band_px, mode="shade"),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bsz, n_bands),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # setup, HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # records, HBM
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_ROW_PAD, _WINDOW * _CHUNK), jnp.float32),
+                pltpu.VMEM((_RFIELDS, _WINDOW * _CHUNK), jnp.bfloat16),
+                pltpu.VMEM((band_px, 1), jnp.float32),
+                pltpu.VMEM((band_px, 1), jnp.int32),
+                pltpu.VMEM((band_px, _RFIELDS), jnp.float32),
+                pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, band_px, _OUT_S),
+                             lambda b, t, *_: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n_bands, band_px, _OUT_S),
+                                 jnp.bfloat16),
+        ],
+        interpret=_interpret(),
+    )(blo, bn, setup_t, rec_t)[0]
+
+    packed = jnp.transpose(packed, (0, 3, 1, 2))
+    packed = _unband(packed.reshape(bsz, _OUT_S, n_bands * band_px),
+                     bsz, n_bands, tile_h, tile_w, height, width,
+                     fields=_OUT_S)
+
+    def plane(k):
+        return packed[:, k].astype(jnp.float32)
+
+    pos = (plane(10).astype(jnp.int32)
+           + plane(11).astype(jnp.int32) * 256
+           + plane(12).astype(jnp.int32) * 65536) - 1
+    hit = (pos >= 0) & (pos < faces.shape[0])
+    pos = jnp.where(hit, pos, -1)
+    w0 = plane(6) + plane(7)
+    w1 = plane(8) + plane(9)
+    # mask per scalar plane BEFORE stacking (minor-dim padding, see
+    # _shade_from_sel)
+    color = jnp.stack([jnp.where(hit, plane(2 * c) + plane(2 * c + 1), 0.0)
+                       for c in range(3)], axis=-1)
+    bary = jnp.stack([jnp.where(hit, v, 0.0)
+                      for v in (w0, w1, 1.0 - w0 - w1)], axis=-1)
+    zbuf = jnp.where(hit, plane(13) + plane(14), jnp.inf)
+    return pos, color, bary, zbuf
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -222,7 +222,8 @@ class RenderOut(NamedTuple):
 def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
                     cfg: FaceReconConfig,
                     background: Optional[jnp.ndarray] = None,
-                    image_size: Optional[int] = None) -> RenderOut:
+                    image_size: Optional[int] = None,
+                    inference: bool = False) -> RenderOut:
     h = w = image_size or cfg.image_size
     radiance = sh_ops.illuminate(geom.texture, geom.normals, gamma)
     from facerecon_tpu.ops import rasterize_pallas, rasterize_tiled
@@ -234,9 +235,16 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
         records = _pack_render_records(
             geom.verts_ndc, radiance, bfm.faces, h, w,
             rasterize_pallas.padded_rows(bfm.faces.shape[0]))
-        tri_id, sel, _ = rasterize_pallas.rasterize_select(
-            records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
-        color, bary = _shade_from_sel(tri_id, sel, h, w)
+        if inference:
+            # forward-only path: shading finishes inside the kernel and
+            # only 16 fields/pixel reach HBM (no gradient support)
+            tri_id, color, bary, _ = rasterize_pallas.rasterize_shaded(
+                records, geom.verts_ndc, bfm.faces, height=h, width=w,
+                tile_h=cfg.tile_h)
+        else:
+            tri_id, sel, _ = rasterize_pallas.rasterize_select(
+                records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
+            color, bary = _shade_from_sel(tri_id, sel, h, w)
     else:
         tri_id = rasterize_tiled.rasterize_batch(
             jax.lax.stop_gradient(geom.verts_ndc), bfm.faces, height=h,
@@ -254,8 +262,13 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
 
 def render_coeffs(coeffs: Coeffs, bfm: DeviceBFM, cfg: FaceReconConfig,
                   background: Optional[jnp.ndarray] = None,
-                  image_size: Optional[int] = None) -> RenderOut:
-    """Full differentiable render: coefficients -> composited image."""
+                  image_size: Optional[int] = None,
+                  inference: bool = False) -> RenderOut:
+    """Full differentiable render: coefficients -> composited image.
+
+    inference=True picks the forward-only in-kernel-shaded TPU path
+    (no gradients; ~identical values, see rasterize_shaded)."""
     geom = coeffs_to_geometry(coeffs, bfm, cfg)
     return render_geometry(geom, coeffs.gamma, bfm, cfg,
-                           background=background, image_size=image_size)
+                           background=background, image_size=image_size,
+                           inference=inference)

@@ -78,17 +78,19 @@ def reconstruct(pipe: Pipeline, variables, images,
     return coeff_vec, coeffs, out
 
 
-def make_reconstruct_fn(pipe: Pipeline):
+def make_reconstruct_fn(pipe: Pipeline, inference: bool = False):
     """Jit-compiled forward. BFM arrays are passed as traced args (not
     baked-in constants) so one compilation serves any asset pack of the
-    same shapes."""
+    same shapes. inference=True renders via the forward-only in-kernel
+    shaded TPU path (no gradients through the render)."""
     model, cfg = pipe.model, pipe.cfg
 
     @jax.jit
     def fn(variables, bfm: DeviceBFM, images):
         coeff_vec = model.apply(variables, images, train=False)
         coeffs = split_coeff(coeff_vec, cfg)
-        out = render_coeffs(coeffs, bfm, cfg, background=images)
+        out = render_coeffs(coeffs, bfm, cfg, background=images,
+                            inference=inference)
         return coeff_vec, coeffs, out
 
     return fn

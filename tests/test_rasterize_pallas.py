@@ -168,6 +168,35 @@ def test_fused_select_vjp_is_scatter_add(cfg, assets, rng):
     np.testing.assert_allclose(grad, exp, atol=1e-4)
 
 
+def test_shaded_matches_select_path(cfg, assets, rng):
+    """rasterize_shaded (the inference hot path: in-kernel barycentric +
+    radiance blend, 16-field output) must match rasterize_select +
+    _shade_from_sel to the bf16 hi/lo packing of the final color/bary
+    (>=16 significand bits), with IDENTICAL tri_id."""
+    bfm, c, geom = _geom(cfg, assets, rng, batch=2)
+    h = w = cfg.image_size
+    radiance = sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
+    records = _pack_render_records(
+        geom.verts_ndc, radiance, bfm.faces, h, w,
+        RP.padded_rows(bfm.faces.shape[0]))
+    tid_s, sel, zb_s = RP.rasterize_select(
+        records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
+    color_s, bary_s = _shade_from_sel(tid_s, sel, h, w)
+
+    tid, color, bary, zb = RP.rasterize_shaded(
+        records, geom.verts_ndc, bfm.faces, height=h, width=w,
+        tile_h=cfg.tile_h)
+    assert np.array_equal(np.asarray(tid), np.asarray(tid_s))
+    np.testing.assert_allclose(np.asarray(color), np.asarray(color_s),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bary), np.asarray(bary_s),
+                               atol=1e-4)
+    cov = np.asarray(tid) >= 0
+    np.testing.assert_allclose(np.asarray(zb)[cov], np.asarray(zb_s)[cov],
+                               rtol=1e-4, atol=1e-4)
+    assert np.all(np.isinf(np.asarray(zb)[~cov]))
+
+
 def test_pallas_z_fighting_tie_rule(cfg):
     """Two identical triangles: the lower face id must win, also across
     chunk/group boundaries (the second copy padded far down the array)."""
