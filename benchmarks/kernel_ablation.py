@@ -251,10 +251,11 @@ def main():
         records = _pack_render_records(
             geom.verts_ndc, radiance, bfm.faces, size, size,
             RP.padded_rows(bfm.faces.shape[0]))
-        blo, bn, coeffs = RP._band_windows(geom.verts_ndc, bfm.faces,
-                                           size, size, tile_h, False)
+        rid = jnp.arange(bfm.faces.shape[0], dtype=jnp.int32)
+        (blo, bn), _, coeffs = RP._band_windows(
+            geom.verts_ndc, bfm.faces, rid, size, size, tile_h, 1, False)
         return (blo, bn, jnp.transpose(coeffs, (0, 2, 1)),
-                jnp.transpose(RP._split_records(records), (0, 2, 1)))
+                jnp.transpose(RP._split_records(records, rid), (0, 2, 1)))
 
     blo, bn, setup_t, rec_t = jax.block_until_ready(prep(cv))
     print(f"prep ready  (batch {batch}, {size}px, tile_h {tile_h}, "

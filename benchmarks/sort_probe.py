@@ -55,8 +55,10 @@ def main():
     vndc = np.asarray(geom.verts_ndc)
 
     # current sort-free windows
-    _, bn, _ = jax.jit(
-        lambda v: RP._band_windows(v, bfm.faces, size, size, tile_h, False)
+    _, (_, bn), _ = jax.jit(
+        lambda v: RP._band_windows(
+            v, bfm.faces, jnp.arange(bfm.faces.shape[0], dtype=jnp.int32),
+            size, size, tile_h, 1, False)
     )(jnp.asarray(vndc))
     bn_stats("unsorted bn", bn)
 
@@ -73,8 +75,10 @@ def main():
         band = np.clip(np.floor(fy.min(axis=1) / tile_h), 0,
                        n_bands - 1).astype(np.int64)
         perm = np.argsort(band, kind="stable")
-        _, bn_i, _ = jax.jit(
-            lambda v, f: RP._band_windows(v, f, size, size, tile_h, False)
+        _, (_, bn_i), _ = jax.jit(
+            lambda v, f: RP._band_windows(
+                v, f, jnp.arange(f.shape[0], dtype=jnp.int32),
+                size, size, tile_h, 1, False)
         )(jnp.asarray(vndc[i][None]), jnp.asarray(faces[perm]))
         bns.append(np.asarray(bn_i)[0])
     bn_stats("y-sorted bn", np.stack(bns))
@@ -96,8 +100,10 @@ def main():
         fperm = (cperm[:, None] * 128
                  + np.arange(128)[None, :]).reshape(-1)
         fperm = fperm[fperm < F]
-        _, bn_i, _ = jax.jit(
-            lambda v, f: RP._band_windows(v, f, size, size, tile_h, False)
+        _, (_, bn_i), _ = jax.jit(
+            lambda v, f: RP._band_windows(
+                v, f, jnp.arange(f.shape[0], dtype=jnp.int32),
+                size, size, tile_h, 1, False)
         )(jnp.asarray(vndc[i][None]), jnp.asarray(faces[fperm]))
         bnc.append(np.asarray(bn_i)[0])
     bn_stats("chunk-sorted bn", np.stack(bnc))

@@ -3,6 +3,8 @@ layouts only, (b) the fused kernel dispatch, (c) kernel + unpack + shade,
 all chained in-jit (device-true over the axon tunnel).
 
   python benchmarks/stage_probe.py [BATCH=64] [SIZE=224] [TILEH=2]
+  NCOLS=4 ROWS=1   column tiles / raster row order (the shipped defaults)
+  NCOLS=1 ROWS=0   round-2-style single-column identity-order kernel
 """
 import os
 import sys
@@ -56,6 +58,14 @@ def main():
     bfm = device_bfm(assets)
     rng = np.random.default_rng(0)
     scale = float(os.environ.get("CSCALE", "0.3"))   # 0 = bench-like
+    n_cols = int(os.environ.get("NCOLS", str(cfg.raster_cols)))
+    use_rows = os.environ.get("ROWS", "1") == "1"
+    if use_rows:
+        row_faces, row_id = bfm.raster_rows, bfm.raster_row_id
+    else:
+        row_faces = bfm.faces
+        row_id = jnp.arange(bfm.faces.shape[0], dtype=jnp.int32)
+    n_faces = bfm.faces.shape[0]
     cv = jnp.asarray(sample_coeffs(rng, cfg, batch, scale=scale))
 
     @jax.jit
@@ -64,38 +74,43 @@ def main():
         geom = coeffs_to_geometry(c, bfm, cfg)
         radiance = sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
         records = _pack_render_records(
-            geom.verts_ndc, radiance, bfm.faces, size, size,
-            RP.padded_rows(bfm.faces.shape[0]))
+            geom.verts_ndc, radiance, row_faces, size, size,
+            RP.padded_rows(row_faces.shape[0]))
         return geom.verts_ndc, records
 
     vndc, records = prep(cv)
     jax.block_until_ready(records)
-    print("prep ready", flush=True)
+    print(f"prep ready (n_cols={n_cols} rows={use_rows})", flush=True)
     h = w = size
 
     def f_bin(vndc, records, seed):
-        blo, bn, coeffs = RP._band_windows(
-            vndc * (1.0 + seed), bfm.faces, h, w, tile_h, False)
+        (clo, _), _, coeffs = RP._band_windows(
+            vndc * (1.0 + seed), row_faces, row_id, h, w, tile_h,
+            n_cols, False)
         st = jnp.transpose(coeffs, (0, 2, 1))
-        rt = jnp.transpose(RP._split_records(records), (0, 2, 1))
-        return (jnp.sum(blo).astype(jnp.float32) + st[0, 0, 0]
+        rt = jnp.transpose(RP._split_records(records, row_id), (0, 2, 1))
+        return (jnp.sum(clo).astype(jnp.float32) + st[0, 0, 0]
                 + rt[0, 0, 0].astype(jnp.float32))
 
     def f_kernel(vndc, records, seed):
         out = RP._fused_impl(records, vndc * (1.0 + seed * 1e-30),
-                             bfm.faces, height=h, width=w, tile_h=tile_h)
+                             row_faces, row_id, n_faces=n_faces,
+                             height=h, width=w, tile_h=tile_h,
+                             n_cols=n_cols)
         return out[1][0, 0, 0, 0]   # one element of sel (dispatch-true)
 
     def f_pos(vndc, records, seed):
         # phase-1 only: setup DMA + eval + reductions, no records/select
         pos, _, zb, _ = RP.rasterize_positions(
             vndc * (1.0 + seed * 1e-30), bfm.faces, height=h, width=w,
-            tile_h=tile_h)
+            tile_h=tile_h, n_cols=n_cols, row_faces=row_faces,
+            row_id=row_id)
         return jnp.sum(zb[:, ::64, ::64]) + pos[0, 0, 0].astype(jnp.float32)
 
     def f_shade(vndc, records, seed):
         pos, sel, zb = RP.rasterize_select(
-            records * (1.0 + seed * 1e-30), vndc, bfm.faces, h, w, tile_h)
+            records * (1.0 + seed * 1e-30), vndc, bfm.faces, h, w, tile_h,
+            n_cols=n_cols, row_faces=row_faces, row_id=row_id)
         color, bary = _shade_from_sel(pos, sel, h, w)
         return jnp.mean(color)
 

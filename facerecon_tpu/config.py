@@ -60,6 +60,11 @@ class FaceReconConfig:
     # fallback; 2 measured fastest at 224px on v5e (fewest candidate-pixel
     # pairs per band)
     tile_h: int = 2
+    # Pallas kernel: column tiles per band. Each column evaluates only
+    # the candidate chunks whose bbox intersects it (tight under the
+    # asset's (y-bin, x)-sorted raster row order): 4 cuts candidate-pixel
+    # pairs ~1.8x at 224px, ~2.4x at 8 (diminishing per-slab returns).
+    raster_cols: int = 4
     # fallback (ops/rasterize_tiled.py) tile width
     tile_w: int = 128
     # fallback: max candidate triangles per tile after binning

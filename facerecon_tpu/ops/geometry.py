@@ -35,6 +35,8 @@ class DeviceBFM(NamedTuple):
     vertex_face_adj: jnp.ndarray  # (N, deg_max) int32, F = pad sentinel
     vertex_corner_adj: jnp.ndarray  # (N, deg_max) int32, 3F = pad
     face_adj_slot: jnp.ndarray   # (F, 3) int32 flat v*deg_max+rank
+    raster_rows: jnp.ndarray     # (F', 3) int32 padded raster row order
+    raster_row_id: jnp.ndarray   # (F',) int32 face id per row, F+1 = pad
 
 
 def device_bfm(assets) -> DeviceBFM:

@@ -4,24 +4,29 @@ Replaces the reference's C++/CUDA z-buffer op with a tile-based Mosaic/TPU
 kernel. Shares triangle setup + 2-D (band, column) binning with
 ops/rasterize_tiled.py (ops/binning.py). Round-3 structure:
 
-  - CHUNK-GRANULAR WINDOWS: per-band candidate windows are sized in
-    128-triangle chunks (round 2 used 1024-lane groups, whose alignment
-    rounding more than doubled the candidates a typical 2-row band
-    evaluates). The whole band window is one contiguous DMA; triangles
-    stay in ORIGINAL face order (sort-free binning).
-  - COLUMN TILES: each band is split into ~112px-wide columns and every
-    column loops only the chunks whose bbox intersects it (the per-
-    (band, column) windows of ops/binning.py). A chunk outside a column's
-    window provably covers none of its pixels, so column pruning is exact.
-    Pixels within a band are laid out x-major (pix = x*tile_h + y) so a
-    column tile is one contiguous sublane range of the output row.
-  - DEFERRED REDUCTION: the z-test carries per-lane (depth, chunk-id) best
-    records elementwise through the chunk loop and runs the two expensive
-    cross-lane reductions (depth argmin + winner lane) ONCE per column —
-    round 2 paid them per 1024-lane group; round 1 per 128-lane chunk
-    (where they were ~60% of kernel time).
-  - FUSED RECORD SELECT: after the z-loop, the kernel one-hot-matmuls each
-    pixel's winner render record out of the column's candidate chunks (the
+  - STATIC RASTER ROW ORDER: setup/record rows follow the asset's
+    (mean-shape y-bin, x)-sorted, chunk-aligned-per-bin face permutation
+    (utils/bfm.raster_row_order), so per-band AND per-column candidate
+    windows are tight contiguous chunk spans (sort-free per frame).
+  - CHUNK-GRANULAR WINDOWS: candidate windows are sized in 128-triangle
+    chunks; the band's union window is one contiguous DMA.
+  - COLUMN TILES: each band splits into n_cols column tiles and every
+    column runs only the 4-chunk eval slabs intersecting its own window
+    (the per-(band, column) windows of ops/binning.py). A chunk outside a
+    column's window provably covers none of its pixels, so the pruning is
+    exact; with the raster row order it cuts candidate-pixel pairs ~1.8x
+    at 224px/4 cols (2.4x at 8) and more at 512px.
+  - IMMEDIATE PER-SLAB REDUCTION over (col_px, 512) shapes — 8x smaller
+    than round 2's (band_px, 1024) reductions. (A deferred per-lane
+    carry in VMEM scratch was measured 4x slower: carry round-trips
+    dwarf the reductions they save.)
+  - ID-VALUED TIES: the carried/compared key is the ORIGINAL face id
+    (setup field 12, f32-exact), and the select one-hot keys on id bytes
+    embedded in the record (fields 42:45) — the oracle's lowest-face-id
+    tie rule holds under ANY row order/padding with no end-of-pipe
+    remapping.
+  - FUSED RECORD SELECT: after the z-loop, the kernel one-hot-matmuls
+    each pixel's winner render record out of the candidate chunks (the
     MXU does the gather). Records are PRE-SPLIT into exactly-bf16 field
     parts (_split_records: hi/lo pairs for 16-bit fields, 3 parts for the
     full-precision affine coefficients), so ONE bf16 pass per chunk reads
@@ -33,20 +38,19 @@ ops/rasterize_tiled.py (ops/binning.py). Round-3 structure:
 Data layout: the flat setup/record arrays are chunk-blocked —
 (B, n_chunks, fields, 128) — so field extraction is a sublane slice and
 the affine edge functions are dual-broadcast FMAs on the VPU (pixels from
-a (col_px, 1) column, triangle coefficients from a (1, 128) row). tri_id
-stays integer -> non-differentiable per the §9.6 contract; the fused
-select output carries the differentiable path (custom VJP runs the matmul
-ADJOINT of the select, no scatter).
-
-Tie rule: the carried chunk-id best keeps the EARLIEST chunk at equal
-depth (strict <), and the final cross-lane reduction takes the lowest
-(chunk*128 + lane) among depth-minimal lanes — together: lowest face id
-in original order, exactly the oracle's rule.
+a (col_px, 1) column, triangle coefficients from a (1, lanes) row).
+Pixels are column-blocked y-major within a band (pix = col*col_px +
+y*col_w + x): column tiles are contiguous sublane ranges and the unband
+relayout keeps col_w the minor dim (minor-dim tile_h would pad 64x in
+the TPU tiled layout). tri_id stays integer -> non-differentiable per
+the §9.6 contract; the fused select output carries the differentiable
+path (custom VJP runs the matmul ADJOINT of the select, no scatter).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +67,10 @@ _WINDOW = 64            # chunks per DMA window (524 KB setup scratch);
                         # pl.when-predicated away, so window capacity is
                         # nearly free
 _SEG = 16               # chunks per window-0 DMA segment (2 supers each)
-_BGRP = 8               # chunks per eval super / backward group (1024 lanes)
+_ESLAB = 4              # chunks per phase-1 eval slab (512 lanes): fine
+                        # enough that a tight column window skips most of
+                        # the band; reductions shrink with the slab
+_BGRP = 8               # chunks per select slab / backward group (1024 lanes)
 _GLANES = _BGRP * _CHUNK  # super / backward group lane width
 _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
 _FIELDS = 24            # caller-facing render-attribute record width
@@ -84,35 +91,45 @@ def padded_rows(n_faces: int) -> int:
     return chunks * _CHUNK
 
 
-def _kernel(blo_ref, bn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
-            band_px: int, mode: str):
+def _kernel(clo_ref, cn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
+            n_cols: int, band_px: int, mode: str):
     """Per (image, band) program. mode: "pos" (phase 1 only), "select"
     (phase 2 emits the winner's 48-field pre-split record — the
     differentiable training path), or "shade" (phase 2 + in-kernel
     barycentric + radiance blend; emits 16 fields — the inference path,
     where the wide record never leaves VMEM).
 
-    Phase 1 (z-test): DMA the band's candidate chunk window HBM->VMEM in
-    16-chunk segments, then run STATICALLY UNROLLED, pl.when-PREDICATED
-    1024-lane "super" evals (8 chunks each) at static scratch offsets.
-    Each super keeps the per-band (depth, face) best in tiny (band_px, 1)
-    scratch carries via one cross-lane reduction pair. No vector state
-    ever rides a fori_loop: a vector-carried loop construct costs ~1.1 us
-    PER ITERATION in VMEM round-trips (measured round 3) and a fori body
-    cannot be predicated away.
-    Phase 2 (select, optional): per live super, one one-hot MXU dot over
-    the matching 1024-lane slab of the lane-transposed record scratch.
+    Phase 1 (z-test): DMA the band's UNION candidate window HBM->VMEM in
+    16-chunk segments, then per COLUMN TILE run statically unrolled,
+    pl.when-predicated 4-chunk slab evals restricted to the column's own
+    chunk window — a chunk outside it provably covers none of the
+    column's pixels, so with the (y-bin, x)-sorted raster row order the
+    per-column work is a fraction of the band's. Each slab reduces
+    immediately into the column's (col_px, 1) best (deferred VMEM
+    carries measured 4x slower). Ties compare the carried ORIGINAL
+    face id (setup field 12), so the oracle's lowest-id rule holds under
+    any row order. Pixels are COLUMN-BLOCKED y-major within the band
+    (pix = col*col_px + y*col_w + x): column tiles are contiguous sublane
+    ranges and the unband relayout keeps col_w minor. No vector state
+    ever rides a fori_loop (a vector-carried loop costs ~1.1 us PER
+    ITERATION in VMEM round-trips).
+    Phase 2 (select, optional): per live 8-chunk slab, one one-hot MXU
+    dot over the lane-transposed record scratch; the one-hot keys on the
+    record's embedded id bytes (fields 42:45) against the phase-1 winner.
 
-    Segment/super alignment: segments are 16 chunks (2 supers); super s is
-    live iff bn > s*8, segment k is DMA'd iff bn > k*16 — a live super's
-    rows are always DMA'd, and rows beyond bn inside a DMA'd segment hold
-    neighboring bands' chunks or dead padding, both safe to evaluate (a
-    chunk outside this band's window provably covers none of its pixels;
-    dead padding never covers and its records are zeros).
+    Segment/slab alignment: segments are 16 chunks; eval slabs 4; select
+    slabs 8. Slab s is live iff its chunk range intersects the (column's)
+    window; rows beyond the window inside a DMA'd segment hold
+    neighboring bands' chunks or dead padding, both safe to evaluate.
 
-    Scalars are flattened to (B, n_bands): a short trailing dim would pad
-    to 128 lanes in SMEM.
+    Scalars are flattened to (B, n_bands * n_cols): a short trailing dim
+    would pad to 128 lanes in SMEM.
     """
+    # benchmarking hook (benchmarks/stage_probe.py): RP_ABLATE=eval,sel,dma
+    # compiles the SHIPPED kernel with phases removed so stage deltas are
+    # measured on the real code, not a drifting harness copy. Read at
+    # trace time; never set in production (results are garbage).
+    abl = set(os.environ.get("RP_ABLATE", "").split(","))
     with_select = mode != "pos"
     if with_select:
         (rec_hbm, packed_ref, scr_s, scr_r, scr_zb, scr_pb, scr_acc,
@@ -121,27 +138,40 @@ def _kernel(blo_ref, bn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
         pos_ref, z_ref, scr_s, scr_zb, scr_pb, sem = rest
     b = pl.program_id(0)
     t = pl.program_id(1)
-    blo = blo_ref[b, t]          # first candidate chunk (global index)
-    bn = bn_ref[b, t]            # band's live chunk count (may exceed window)
+    col_w = tile_w // n_cols
+    col_px = tile_h * col_w
+
+    # per-column windows (global chunk indices) and their band union
+    clo = [clo_ref[b, t * n_cols + c] for c in range(n_cols)]
+    cn = [cn_ref[b, t * n_cols + c] for c in range(n_cols)]
+    blo = clo[0] if n_cols == 1 else functools.reduce(
+        jnp.minimum, [jnp.where(n > 0, l, 2 ** 30)
+                      for l, n in zip(clo, cn)])
+    bhi = functools.reduce(
+        jnp.maximum, [jnp.where(n > 0, l + n, 0)
+                      for l, n in zip(clo, cn)])
+    blo = jnp.minimum(blo, bhi)      # all-empty: blo=bhi=0 -> bn=0
+    bn = bhi - blo
 
     def dma_t(hbm, scr, wbase, lo, size, s):
         # both setup and records are LANE-TRANSPOSED in HBM — (B, fields,
         # rows) — so a window segment lands as (fields, size*128) with its
-        # chunks side-by-side on lanes: supers read static 1024-lane slabs
+        # chunks side-by-side on lanes: slabs read static lane slices
         return pltpu.make_async_copy(
             hbm.at[b, :, pl.ds((blo + wbase + lo) * _CHUNK, size * _CHUNK)],
             scr.at[:, pl.ds(lo * _CHUNK, size * _CHUNK)], sem.at[s])
 
     n_seg = _WINDOW // _SEG
     segs = []
-    for k in range(n_seg):
-        d = dma_t(setup_hbm, scr_s, 0, k * _SEG, _SEG, k)
-        if k == 0:
-            d.start()
-        else:
-            pl.when(bn > k * _SEG)(lambda d=d: d.start())
-        segs.append(d)
-    if with_select:
+    if "dma" not in abl:
+        for k in range(n_seg):
+            d = dma_t(setup_hbm, scr_s, 0, k * _SEG, _SEG, k)
+            if k == 0:
+                d.start()
+            else:
+                pl.when(bn > k * _SEG)(lambda d=d: d.start())
+            segs.append(d)
+    if with_select and "dma" not in abl:
         rsegs = []
         for k in range(n_seg):
             d = dma_t(rec_hbm, scr_r, 0, k * _SEG, _SEG, n_seg + k)
@@ -151,76 +181,95 @@ def _kernel(blo_ref, bn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
                 pl.when(bn > k * _SEG)(lambda d=d: d.start())
             rsegs.append(d)
 
-    # pixel coordinates, y-major within the band (pure-reshape unband):
-    # (band_px, 1) columns broadcast against (1, 1024) coefficient rows
+    # pixel coordinates, COLUMN-BLOCKED y-major within the band
+    # (pix = col*col_px + y*col_w + x): column tiles are contiguous
+    # sublane ranges AND the unband relayout keeps col_w as the minor dim
+    # (a pure reshape at n_cols=1). (band_px, 1) pixel columns broadcast
+    # against (1, lanes) coefficient rows.
     pix_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, 1), 0)
-    px = (pix_i % tile_w).astype(jnp.float32) + 0.5
-    py = ((pix_i // tile_w).astype(jnp.float32)
+    in_col = pix_i % col_px
+    px = ((pix_i // col_px) * col_w + in_col % col_w).astype(
+        jnp.float32) + 0.5
+    py = ((in_col // col_w).astype(jnp.float32)
           + jnp.float32(t * tile_h) + 0.5)
     sup_lanes = _BGRP * _CHUNK
-    lane_f = jax.lax.broadcasted_iota(
-        jnp.int32, (1, sup_lanes), 1).astype(jnp.float32)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, sup_lanes), 1)
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
+    es_lanes = _ESLAB * _CHUNK
+    cpix_i = jax.lax.broadcasted_iota(jnp.int32, (col_px, 1), 0)
+    cpy = ((cpix_i // col_w).astype(jnp.float32)
+           + jnp.float32(t * tile_h) + 0.5)
 
     scr_zb[...] = jnp.full((band_px, 1), jnp.inf, jnp.float32)
-    scr_pb[...] = jnp.full((band_px, 1), -1, jnp.int32)
-
-    def eval_block(cf, base_chunk, lanes, lf):
-        """Evaluate `lanes` candidate triangles (field getter cf) against
-        the whole band and merge into the scratch (depth, face id) best.
-        Tie rule: within a block the lowest lane wins (= lowest face id);
-        across blocks strict < keeps the earliest (= lowest face id,
-        blocks ascend in chunk order)."""
-        qx = px - cf(9)
-        qy = py - cf(10)
-        e0 = cf(0) * qx + cf(1) * qy + cf(2)
-        e1 = cf(3) * qx + cf(4) * qy + cf(5)
-        ez = cf(6) * qx + cf(7) * qy + cf(8)
-        cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
-        zm = jnp.where(cov, ez, jnp.inf)
-        zmin = jnp.min(zm, axis=1, keepdims=True)        # (band_px, 1)
-        win_f = jnp.min(jnp.where(zm == zmin, lf, 3e38),
-                        axis=1, keepdims=True)
-        zb = scr_zb[...]
-        better = zmin < zb
-        scr_zb[...] = jnp.where(better, zmin, zb)
-        pos = base_chunk * _CHUNK + win_f.astype(jnp.int32)
-        scr_pb[...] = jnp.where(better, pos, scr_pb[...])
+    scr_pb[...] = jnp.full((band_px, 1), -1.0, jnp.float32)
 
     # wait the segments (all up front; conditionals mirror the starts)
-    for k in range(n_seg):
+    for k in range(n_seg) if "dma" not in abl else []:
         if k == 0:
             segs[k].wait()
         else:
             pl.when(bn > k * _SEG)(lambda d=segs[k]: d.wait())
 
-    # window-0 supers: static slabs, predicated on liveness
-    for s in range(_WINDOW // _BGRP):
-        def sup(s=s):
-            cf = lambda f: scr_s[f:f + 1,
-                                 s * sup_lanes:(s + 1) * sup_lanes]
-            eval_block(cf, blo + s * _BGRP, sup_lanes, lane_f)
+    # ---- phase 1: per-column predicated slab evals. Immediate per-slab
+    # reduction into the column's (col_px, 1) best: a deferred per-lane
+    # carry in VMEM scratch was measured 4x SLOWER (each slab re-read and
+    # re-wrote (col_px, 512) x2 f32 carries — 1.8 MB of VMEM round-trips
+    # per slab dwarfing the reductions it saved). Reductions here run
+    # over (col_px, 512), 8x smaller than round 2's (band_px, 1024).
+    for c in range(n_cols) if "eval" not in abl else []:
+        rlo = clo[c] - blo
+        rhi = rlo + cn[c]
+        cpx = (cpix_i % col_w).astype(jnp.float32) + (c * col_w + 0.5)
+        sl = slice(c * col_px, (c + 1) * col_px)
 
-        if s == 0:
-            sup()
-        else:
-            pl.when(bn > s * _BGRP)(sup)
+        for s in range(_WINDOW // _ESLAB):
+            def slab(s=s):
+                cf = lambda f: scr_s[f:f + 1,
+                                     s * es_lanes:(s + 1) * es_lanes]
+                qx = cpx - cf(9)
+                qy = cpy - cf(10)
+                e0 = cf(0) * qx + cf(1) * qy + cf(2)
+                e1 = cf(3) * qx + cf(4) * qy + cf(5)
+                ez = cf(6) * qx + cf(7) * qy + cf(8)
+                cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
+                zm = jnp.where(cov, ez, jnp.inf)
+                zmin = jnp.min(zm, axis=1, keepdims=True)   # (col_px, 1)
+                idw = jnp.min(jnp.where(zm == zmin, cf(12), 3e38),
+                              axis=1, keepdims=True)
+                zb = scr_zb[sl]
+                pb = scr_pb[sl]
+                better = (zmin < zb) | ((zmin == zb) & (idw < pb)
+                                        & (zmin < 3e37))
+                scr_zb[sl] = jnp.where(better, zmin, zb)
+                scr_pb[sl] = jnp.where(better, idw, pb)
+
+            pl.when((rhi > s * _ESLAB) & (rlo < (s + 1) * _ESLAB))(slab)
 
     # fallback beyond the window (spatially incoherent face order):
-    # sequential window DMA + per-chunk narrow evals, scalar loop state
-    # only. Correctness over speed.
-    needs = bn > _WINDOW
+    # sequential window DMA + per-chunk narrow band-wide evals, scalar
+    # loop state only. Correctness over speed.
+    needs = bn > _WINDOW if not abl & {"eval", "dma"} else (bn < -1)
 
     @pl.when(needs)
     def _():
-        lane_cf = lane_c.astype(jnp.float32)
-
-        def chunk_at(rel, chunk_abs):
+        def chunk_at(rel, _):
             cf = lambda f: scr_s[f:f + 1,
                                  pl.ds(pl.multiple_of(rel * _CHUNK,
                                                       _CHUNK), _CHUNK)]
-            eval_block(cf, chunk_abs, _CHUNK, lane_cf)
+            qx = px - cf(9)
+            qy = py - cf(10)
+            e0 = cf(0) * qx + cf(1) * qy + cf(2)
+            e1 = cf(3) * qx + cf(4) * qy + cf(5)
+            ez = cf(6) * qx + cf(7) * qy + cf(8)
+            cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
+            zm = jnp.where(cov, ez, jnp.inf)
+            zmin = jnp.min(zm, axis=1, keepdims=True)    # (band_px, 1)
+            idw = jnp.min(jnp.where(zm == zmin, cf(12), 3e38),
+                          axis=1, keepdims=True)
+            zb = scr_zb[...]
+            pb = scr_pb[...]
+            better = (zmin < zb) | ((zmin == zb) & (idw < pb)
+                                    & (zmin < 3e37))
+            scr_zb[...] = jnp.where(better, zmin, zb)
+            scr_pb[...] = jnp.where(better, idw, pb)
             return 0
 
         n_win = (bn + _WINDOW - 1) // _WINDOW
@@ -231,57 +280,58 @@ def _kernel(blo_ref, bn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
             d.start()
             d.wait()
             nw = jnp.minimum(bn - wbase, _WINDOW)
-            jax.lax.fori_loop(
-                0, nw, lambda i, _: chunk_at(i, blo + wbase + i), 0)
+            jax.lax.fori_loop(0, nw, chunk_at, 0)
             return 0
 
         jax.lax.fori_loop(1, n_win, win_body, 0)
 
     zbuf = scr_zb[...]
-    posbest = scr_pb[...]                    # -1 where never covered
+    posbest = scr_pb[...]                    # -1.0 where never covered
 
     if not with_select:
-        pos_ref[0, 0] = posbest
+        pos_ref[0, 0] = posbest.astype(jnp.int32)
         z_ref[0, 0] = zbuf
         return
 
     # ---- phase 2: one-hot MXU select of the winner's render record ----
-    # per live super: onehot (band_px, 1024) @ record slab (48, 1024)^T.
+    # per live slab: onehot (band_px, 1024) @ record slab (48, 1024)^T.
     # Records are PRE-SPLIT into exactly-bf16 parts so a SINGLE bf16 pass
-    # reads every field exactly; rows beyond bn inside a DMA'd segment are
-    # real neighboring records or zero padding, and the onehot (winner
-    # face ids only) never selects them.
-    for k in range(n_seg):
+    # reads every field exactly. The one-hot keys on the record's id+1
+    # byte fields (42:45) vs the winner id: position-independent, so any
+    # row order/window works; background (0) matches only all-zero pad
+    # records, whose contribution is zero.
+    for k in range(n_seg) if "dma" not in abl else []:
         if k == 0:
             rsegs[k].wait()
         else:
             pl.when(bn > k * _SEG)(lambda d=rsegs[k]: d.wait())
 
     scr_acc[...] = jnp.zeros((band_px, _RFIELDS), jnp.float32)
+    posu_f = posbest + 1.0                   # 0 = background, f32-exact
 
-    def sel_block(rec, base_chunk, lanes, li):
-        onehot = ((posbest - base_chunk * _CHUNK) == li).astype(
-            jnp.bfloat16)
+    def sel_block(rec):
+        idl = (rec[42:43].astype(jnp.float32)
+               + rec[43:44].astype(jnp.float32) * 256.0
+               + rec[44:45].astype(jnp.float32) * 65536.0)
+        onehot = (posu_f == idl).astype(jnp.bfloat16)
         scr_acc[...] = scr_acc[...] + jax.lax.dot_general(
             onehot, rec, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    for s in range(_WINDOW // _BGRP):
+    for s in range(_WINDOW // _BGRP) if "sel" not in abl else []:
         def ssel(s=s):
-            sel_block(scr_r[:, s * sup_lanes:(s + 1) * sup_lanes],
-                      blo + s * _BGRP, sup_lanes, lane_i)
+            sel_block(scr_r[:, s * sup_lanes:(s + 1) * sup_lanes])
 
         if s == 0:
             ssel()
         else:
             pl.when(bn > s * _BGRP)(ssel)
 
-    @pl.when(needs)
+    @pl.when(needs if "sel" not in abl else (bn < -1))
     def _():
-        def sel_chunk(rel, chunk_abs):
-            rec = scr_r[:, pl.ds(pl.multiple_of(rel * _CHUNK, _CHUNK),
-                                 _CHUNK)]
-            sel_block(rec, chunk_abs, _CHUNK, lane_c)
+        def sel_chunk(rel, _):
+            sel_block(scr_r[:, pl.ds(pl.multiple_of(rel * _CHUNK, _CHUNK),
+                                     _CHUNK)])
             return 0
 
         n_win = (bn + _WINDOW - 1) // _WINDOW
@@ -292,22 +342,23 @@ def _kernel(blo_ref, bn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
             d.start()
             d.wait()
             nw = jnp.minimum(bn - wbase, _WINDOW)
-            jax.lax.fori_loop(
-                0, nw, lambda i, _: sel_chunk(i, blo + wbase + i), 0)
+            jax.lax.fori_loop(0, nw, sel_chunk, 0)
             return 0
 
         jax.lax.fori_loop(1, n_win, sel_win_body, 0)
 
+    if "pack" in abl:
+        return
     # ONE packed bf16 output row per pixel: separate narrow outputs pad
     # their minor dim to 128 lanes in the tiled HBM layout (a (.., 1) f32
     # plane costs 128x its size). All sel values are exact bf16 by
     # construction; pos packs into 3 byte-valued fields, z into a bf16
     # hi/lo pair.
-    posu = posbest + 1                       # 0 = background
+    posu = posbest.astype(jnp.int32) + 1     # 0 = background, face id + 1
     p0 = (posu & 255).astype(jnp.bfloat16)
     p1 = ((posu >> 8) & 255).astype(jnp.bfloat16)
     p2 = (posu >> 16).astype(jnp.bfloat16)
-    zsafe = jnp.where(posbest >= 0, zbuf, 0.0)
+    zsafe = jnp.where(posu > 0, zbuf, 0.0)
     zhi, zlo = _split2(zsafe)
 
     if mode == "shade":
@@ -396,7 +447,7 @@ def _split3(x):
             p2.astype(jnp.bfloat16))
 
 
-def _split_records(records):
+def _split_records(records, row_id):
     """Build the (B, rows, 48) bf16 pre-split select record from the
     24-wide differentiable attribute record (_pack_render_records).
 
@@ -407,18 +458,23 @@ def _split_records(records):
               significand bits; sliver triangles have O(1/area)
               coefficients, so 16 bits exploded their barycentrics)
       36:39  anchor x0 in 3 parts  39:42  anchor y0 in 3 parts
-      42:45  bytes of (row index + 1) — selecting these yields the winner
-             position in the SAME orientation as the select output, which
-             the transposed shade-mode select needs (phase 1's posbest is
-             a sublane column; the shade output is lane rows). 0 = none.
+      42:45  bytes of (face id + 1) — the select one-hot's key (position-
+             independent: any raster row order works), and the winner id
+             in row orientation for the transposed shade-mode select.
+             0 = none; bin-pad rows carry the F+2 sentinel via row_id.
       45:48  pad
+
+    row_id (rows',) int32: original face id per record row (rows' <= rows;
+    trailing all-zero pad records keep byte value 0 = background key,
+    which only ever matches uncovered pixels and contributes zeros).
     """
     rad_hi, rad_lo = _split2(records[..., 0:9])
     w0p, w1p, w2p = _split3(records[..., 9:15])
     x0 = _split3(records[..., 15:16])
     y0 = _split3(records[..., 16:17])
     rows = records.shape[-2]
-    rid = jnp.arange(1, rows + 1, dtype=jnp.int32)[None, :, None]
+    rid = jnp.zeros((rows,), jnp.int32).at[:row_id.shape[0]].set(
+        row_id + 1)[None, :, None]
     idb = jnp.concatenate(
         [rid & 255, (rid >> 8) & 255, rid >> 16],
         axis=-1).astype(jnp.bfloat16)                # byte-valued: exact
@@ -428,68 +484,112 @@ def _split_records(records):
         [rad_hi, rad_lo, w0p, w1p, w2p, *x0, *y0, idb, pad], axis=-1)
 
 
-def _band_windows(verts_ndc, faces, height, width, tile_h,
-                  cull_backfaces):
-    """Run the sort-free static binning and derive the per-band contiguous
-    chunk windows (blo, bn) (B, n_bands) plus the padded flat setup
-    array. Column windows were tried in round 3 and measured useless: the
-    contiguous-window constraint makes a column's span essentially equal
-    to the band's on real meshes (chunk x-extents ~1/3 of the face width
-    interleave across columns)."""
+def col_width(width: int, n_cols: int) -> int:
+    """Per-column pixel width: ceil(width / n_cols) rounded up to the
+    8-sublane granularity; the padded tile is n_cols * col_width wide."""
+    return ((width + n_cols - 1) // n_cols + 7) // 8 * 8
+
+
+def _band_windows(verts_ndc, row_faces, row_id, height, width, tile_h,
+                  n_cols, cull_backfaces):
+    """Sort-free static binning over the RASTER ROW ORDER (a static
+    (y-bin, x)-sorted, chunk-aligned-per-bin face permutation built from
+    the mean shape — utils/bfm.raster_row_order; identity for plain
+    `faces`). Returns per-(band, column) contiguous chunk windows
+    (clo, cn) (B, n_bands * n_cols) flattened for scalar prefetch, the
+    per-band union windows (blo, bn) (B, n_bands) (DMA + backward), and
+    the padded flat setup array whose field 12 carries the ORIGINAL face
+    id (f32-exact): the kernel's z-test ties and the select one-hot key
+    on the id value, so any row order — however padded or shuffled —
+    reproduces the oracle's lowest-face-id rule exactly."""
     bsz = verts_ndc.shape[0]
+    tile_w = col_width(width, n_cols)
     setup = jax.vmap(
-        lambda v: bin_triangles_static(v, faces, height, width, tile_h,
+        lambda v: bin_triangles_static(v, row_faces, height, width, tile_h,
                                        _CHUNK, cull_backfaces,
-                                       tile_w=width))(verts_ndc)
+                                       tile_w=tile_w))(verts_ndc)
     f = setup.coeffs.shape[1]
-    blo = setup.band_lo[:, :, 0].astype(jnp.int32)       # (B, n_bands)
-    bn = setup.n_chunks[:, :, 0].astype(jnp.int32)
+    clo = setup.band_lo.astype(jnp.int32)        # (B, n_bands, n_cols)
+    cn = setup.n_chunks.astype(jnp.int32)
+    chi = jnp.where(cn > 0, clo + cn, 0)
+    blo = jnp.min(jnp.where(cn > 0, clo, jnp.int32(2 ** 30)), axis=2)
+    bhi = jnp.max(chi, axis=2)
+    any_c = jnp.any(cn > 0, axis=2)
+    blo = jnp.where(any_c, blo, 0)               # (B, n_bands)
+    bn = jnp.where(any_c, bhi - blo, 0)
 
     rows = padded_rows(f)
-    coeffs = jnp.pad(setup.coeffs, ((0, 0), (0, rows - f),
-                                    (0, _ROW_PAD - SETUP_WIDTH)))
+    idcol = jnp.broadcast_to(
+        row_id.astype(jnp.float32)[None, :, None], (bsz, f, 1))
+    coeffs = jnp.concatenate([setup.coeffs, idcol], axis=-1)
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, rows - f),
+                              (0, _ROW_PAD - SETUP_WIDTH - 1)))
     # dead padding must never cover: wc0 = wc1 = -inf
     if rows - f:
         coeffs = coeffs.at[:, f:, 2].set(-3e38)
         coeffs = coeffs.at[:, f:, 5].set(-3e38)
-    return blo, bn, coeffs
+    return (clo.reshape(bsz, -1), cn.reshape(bsz, -1)), (blo, bn), coeffs
 
 
-def _unband(arr, bsz, n_bands, tile_h, tile_w, height, width, fields=None):
-    """Invert the kernel's y-major band layout back to (B, [F,] H, W) —
-    a pure reshape + crop."""
+def _unband(arr, bsz, n_bands, tile_h, tile_w, n_cols, height, width,
+            fields=None):
+    """Invert the kernel's COLUMN-BLOCKED y-major band layout
+    (pix = col*col_px + y*col_w + x) back to (B, [F,] H, W): a transpose
+    that swaps (n_cols, tile_h) while keeping col_w the MINOR dim — a
+    padded-copy-free relayout (and a pure reshape at n_cols=1; a minor
+    dim of tile_h=2 would pad 64x in the TPU tiled layout and was
+    measured 3-30x the whole kernel's cost)."""
+    col_w = tile_w // n_cols
     if fields is None:
-        a = arr.reshape(bsz, n_bands * tile_h, tile_w)
-        return a[:, :height, :width]
-    a = arr.reshape(bsz, fields, n_bands * tile_h, tile_w)
-    return a[:, :, :height, :width]
+        a = arr.reshape(bsz, n_bands, n_cols, tile_h, col_w)
+        a = jnp.transpose(a, (0, 1, 3, 2, 4))
+        return a.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
+    a = arr.reshape(bsz, fields, n_bands, n_cols, tile_h, col_w)
+    a = jnp.transpose(a, (0, 1, 2, 4, 3, 5))
+    return a.reshape(bsz, fields, n_bands * tile_h,
+                     tile_w)[:, :, :height, :width]
+
+
+def _identity_rows(faces):
+    return faces, jnp.arange(faces.shape[0], dtype=jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "tile_h", "cull_backfaces"))
+    static_argnames=("height", "width", "tile_h", "n_cols",
+                     "cull_backfaces"))
 def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
-                        tile_h: int = 2, cull_backfaces: bool = False):
+                        tile_h: int = 2, n_cols: int = 1,
+                        cull_backfaces: bool = False,
+                        row_faces=None, row_id=None):
     """Batched hard-visibility pass.
 
-    verts_ndc (B,N,3), faces (F,3) -> (tri_id (B,H,W) i32 winning face index
-    in ORIGINAL face order (-1 = background), setup records (B,rows,16) in
-    face order, zbuf (B,H,W) f32, (blo, bn) band chunk windows).
+    verts_ndc (B,N,3), faces (F,3) -> (tri_id (B,H,W) i32 winning face
+    index in ORIGINAL face order (-1 = background), setup records
+    (B,rows,16) in RASTER ROW order (= face order when row_faces is
+    None), zbuf (B,H,W) f32, (blo, bn) band union chunk windows).
+
+    row_faces/row_id: optional static raster row order (DeviceBFM
+    raster_rows/raster_row_id) enabling tight per-column windows.
     """
+    if row_faces is None:
+        row_faces, row_id = _identity_rows(faces)
     bsz = verts_ndc.shape[0]
-    tile_w = ((width + 7) // 8) * 8
+    tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
     band_px = tile_h * tile_w
+    col_px = band_px // n_cols
 
-    blo, bn, coeffs = _band_windows(verts_ndc, faces, height, width,
-                                    tile_h, cull_backfaces)
+    (clo, cn), (blo, bn), coeffs = _band_windows(
+        verts_ndc, row_faces, row_id, height, width, tile_h, n_cols,
+        cull_backfaces)
     setup_t = jnp.transpose(coeffs, (0, 2, 1))   # (B, 16 fields, rows)
 
     pos, zbuf = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
-                          band_px=band_px, mode="pos"),
+                          n_cols=n_cols, band_px=band_px, mode="pos"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,      # blo, bn
+            num_scalar_prefetch=2,      # clo, cn
             grid=(bsz, n_bands),
             in_specs=[
                 # full array stays in HBM; the kernel DMAs per-band slices
@@ -498,7 +598,7 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
             scratch_shapes=[
                 pltpu.VMEM((_ROW_PAD, _WINDOW * _CHUNK), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
-                pltpu.VMEM((band_px, 1), jnp.int32),
+                pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.SemaphoreType.DMA((_WINDOW // _SEG,)),
             ],
             out_specs=[
@@ -515,41 +615,48 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
             jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(blo, bn, setup_t)
+    )(clo, cn, setup_t)
 
-    pos = _unband(pos, bsz, n_bands, tile_h, tile_w, height, width)
-    zbuf = _unband(zbuf, bsz, n_bands, tile_h, tile_w, height, width)
-    # positions beyond the live face count are dead padding (can never win
-    # — but guard anyway); pos IS the face id in original order
+    pos = _unband(pos, bsz, n_bands, tile_h, tile_w, n_cols, height,
+                  width)
+    zbuf = _unband(zbuf, bsz, n_bands, tile_h, tile_w, n_cols, height,
+                   width)
+    # ids beyond the live face count are dead padding (can never win —
+    # but guard anyway); pos IS the face id in original order
     pos = jnp.where(pos < faces.shape[0], pos, -1)
     return pos, coeffs, zbuf, (blo, bn)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "tile_h", "cull_backfaces"))
-def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
-                tile_h: int, cull_backfaces: bool = False):
-    """Forward of the fused raster+select: records (B,rows,24) differentiable
-    render attributes in face order (rows = padded_rows(F)), verts_ndc
-    non-differentiable positions -> (tri_id (B,H,W), sel (B,48,H,W)
-    pre-split winner record, zbuf (B,H,W), band windows)."""
+    static_argnames=("n_faces", "height", "width", "tile_h", "n_cols",
+                     "cull_backfaces"))
+def _fused_impl(records, verts_ndc, row_faces, row_id, *, n_faces: int,
+                height: int, width: int, tile_h: int, n_cols: int,
+                cull_backfaces: bool = False):
+    """Forward of the fused raster+select: records (B,rows,24)
+    differentiable render attributes in raster row order
+    (rows = padded_rows(F')), verts_ndc non-differentiable positions ->
+    (tri_id (B,H,W) original face ids, sel (B,48,H,W) pre-split winner
+    record, zbuf (B,H,W), band union windows)."""
     bsz = verts_ndc.shape[0]
-    tile_w = ((width + 7) // 8) * 8
+    tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
     band_px = tile_h * tile_w
+    col_px = band_px // n_cols
 
-    blo, bn, coeffs = _band_windows(verts_ndc, faces, height, width,
-                                    tile_h, cull_backfaces)
+    (clo, cn), (blo, bn), coeffs = _band_windows(
+        verts_ndc, row_faces, row_id, height, width, tile_h, n_cols,
+        cull_backfaces)
     # setup and records LANE-TRANSPOSED: (B, fields, rows) — a window DMA
-    # lands all its chunks side-by-side on lanes so supers/slabs read
-    # static 1024-lane slices
+    # lands all its chunks side-by-side on lanes so slabs read static
+    # lane slices
     setup_t = jnp.transpose(coeffs, (0, 2, 1))
-    rec_t = jnp.transpose(_split_records(records), (0, 2, 1))
+    rec_t = jnp.transpose(_split_records(records, row_id), (0, 2, 1))
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
-                          band_px=band_px, mode="select"),
+                          n_cols=n_cols, band_px=band_px, mode="select"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(bsz, n_bands),
@@ -561,7 +668,7 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
                 pltpu.VMEM((_ROW_PAD, _WINDOW * _CHUNK), jnp.float32),
                 pltpu.VMEM((_RFIELDS, _WINDOW * _CHUNK), jnp.bfloat16),
                 pltpu.VMEM((band_px, 1), jnp.float32),
-                pltpu.VMEM((band_px, 1), jnp.int32),
+                pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, _RFIELDS), jnp.float32),
                 pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
             ],
@@ -576,7 +683,7 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
                                  jnp.bfloat16),
         ],
         interpret=_interpret(),
-    )(blo, bn, setup_t, rec_t)[0]
+    )(clo, cn, setup_t, rec_t)[0]
 
     # ONE transpose to field-major (B, F, H, W): per-field slices of a
     # feature-minor array materialize (B,H,W,1)-shaped temps whose minor
@@ -584,7 +691,7 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
     # field-major slices keep W minor and pad nothing
     packed = jnp.transpose(packed, (0, 3, 1, 2))
     packed = _unband(packed.reshape(bsz, _OUT_F, n_bands * band_px),
-                     bsz, n_bands, tile_h, tile_w, height, width,
+                     bsz, n_bands, tile_h, tile_w, n_cols, height, width,
                      fields=_OUT_F)
     pos = (packed[:, 48].astype(jnp.int32)
            + packed[:, 49].astype(jnp.int32) * 256
@@ -592,8 +699,9 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
     zbuf = (packed[:, 51].astype(jnp.float32)
             + packed[:, 52].astype(jnp.float32))
     # background pixels already selected the zero record in-kernel (their
-    # one-hot matches no lane), so sel needs no mask
-    hit = (pos >= 0) & (pos < faces.shape[0])
+    # one-hot key 0 matches only all-zero pad records), so sel needs no
+    # mask
+    hit = (pos >= 0) & (pos < n_faces)
     pos = jnp.where(hit, pos, -1)
     prec = packed[:, :_RFIELDS].astype(jnp.float32)
     zbuf = jnp.where(hit, zbuf, jnp.inf)
@@ -605,9 +713,12 @@ def _fused_impl(records, verts_ndc, faces, *, height: int, width: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "tile_h", "cull_backfaces"))
+    static_argnames=("height", "width", "tile_h", "n_cols",
+                     "cull_backfaces"))
 def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
-                     tile_h: int, cull_backfaces: bool = False):
+                     tile_h: int, n_cols: int = 1,
+                     cull_backfaces: bool = False,
+                     row_faces=None, row_id=None):
     """Fused raster + select + IN-KERNEL shading — the inference hot path.
 
     Same phase 1/2 as rasterize_select, but the winner's record is blended
@@ -622,19 +733,23 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
     """
     records = jax.lax.stop_gradient(records)
     verts_ndc = jax.lax.stop_gradient(verts_ndc)
+    if row_faces is None:
+        row_faces, row_id = _identity_rows(faces)
     bsz = verts_ndc.shape[0]
-    tile_w = ((width + 7) // 8) * 8
+    tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
     band_px = tile_h * tile_w
+    col_px = band_px // n_cols
 
-    blo, bn, coeffs = _band_windows(verts_ndc, faces, height, width,
-                                    tile_h, cull_backfaces)
+    (clo, cn), _, coeffs = _band_windows(
+        verts_ndc, row_faces, row_id, height, width, tile_h, n_cols,
+        cull_backfaces)
     setup_t = jnp.transpose(coeffs, (0, 2, 1))
-    rec_t = jnp.transpose(_split_records(records), (0, 2, 1))
+    rec_t = jnp.transpose(_split_records(records, row_id), (0, 2, 1))
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
-                          band_px=band_px, mode="shade"),
+                          n_cols=n_cols, band_px=band_px, mode="shade"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(bsz, n_bands),
@@ -646,7 +761,7 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
                 pltpu.VMEM((_ROW_PAD, _WINDOW * _CHUNK), jnp.float32),
                 pltpu.VMEM((_RFIELDS, _WINDOW * _CHUNK), jnp.bfloat16),
                 pltpu.VMEM((band_px, 1), jnp.float32),
-                pltpu.VMEM((band_px, 1), jnp.int32),
+                pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, _RFIELDS), jnp.float32),
                 pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
             ],
@@ -661,11 +776,11 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
                                  jnp.bfloat16),
         ],
         interpret=_interpret(),
-    )(blo, bn, setup_t, rec_t)[0]
+    )(clo, cn, setup_t, rec_t)[0]
 
     packed = jnp.transpose(packed, (0, 3, 1, 2))
     packed = _unband(packed.reshape(bsz, _OUT_S, n_bands * band_px),
-                     bsz, n_bands, tile_h, tile_w, height, width,
+                     bsz, n_bands, tile_h, tile_w, n_cols, height, width,
                      fields=_OUT_S)
 
     def plane(k):
@@ -688,13 +803,13 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
     return pos, color, bary, zbuf
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def rasterize_select(records, verts_ndc, faces, height: int, width: int,
-                     tile_h: int, cull_backfaces: bool = False):
+                     tile_h: int, cull_backfaces: bool = False,
+                     n_cols: int = 1, row_faces=None, row_id=None):
     """Fused hard-visibility + per-pixel record select (the TPU render hot
-    path): records (B, padded_rows(F), 24) render attributes [radiance
-    corners 9 | affine w-coeffs 6 | anchor 2 | pad] -> (tri_id,
-    sel (B,48,H,W), zbuf),
+    path): records (B, padded_rows(F'), 24) render attributes [radiance
+    corners 9 | affine w-coeffs 6 | anchor 2 | pad] in raster row order ->
+    (tri_id, sel (B,48,H,W), zbuf),
     where sel is the winner's pre-split record, FIELD-MAJOR so per-field
     reads slice on the W-minor axis (_split_records layout; ops/render.py
     reconstructs radiance/barycentrics/corners from it).
@@ -705,35 +820,53 @@ def rasterize_select(records, verts_ndc, faces, height: int, width: int,
     family's scatter-add — TPU scatters run at ~element/cycle. In the
     hi/lo field decomposition x == hi + lo, hi is a staircase of x (zero
     derivative a.e.), so the cotangent of x is the LO part's alone."""
-    return _fused_impl(records, jax.lax.stop_gradient(verts_ndc), faces,
-                       height=height, width=width, tile_h=tile_h,
+    if row_faces is None:
+        row_faces, row_id = _identity_rows(faces)
+    return _rs_core(records, verts_ndc, row_faces, row_id,
+                    faces.shape[0], height, width, tile_h, n_cols,
+                    cull_backfaces)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _rs_core(records, verts_ndc, row_faces, row_id, n_faces: int,
+             height: int, width: int, tile_h: int, n_cols: int,
+             cull_backfaces: bool):
+    return _fused_impl(records, jax.lax.stop_gradient(verts_ndc),
+                       row_faces, row_id, n_faces=n_faces, height=height,
+                       width=width, tile_h=tile_h, n_cols=n_cols,
                        cull_backfaces=cull_backfaces)[:3]
 
 
-def _rs_fwd(records, verts_ndc, faces, height, width, tile_h,
-            cull_backfaces):
+def _rs_fwd(records, verts_ndc, row_faces, row_id, n_faces, height, width,
+            tile_h, n_cols, cull_backfaces):
     pos, prec, zbuf, blo, bn = _fused_impl(
-        records, jax.lax.stop_gradient(verts_ndc), faces,
-        height=height, width=width, tile_h=tile_h,
-        cull_backfaces=cull_backfaces)
-    return (pos, prec, zbuf), (pos, records.shape, blo, bn)
+        records, jax.lax.stop_gradient(verts_ndc), row_faces, row_id,
+        n_faces=n_faces, height=height, width=width, tile_h=tile_h,
+        n_cols=n_cols, cull_backfaces=cull_backfaces)
+    return (pos, prec, zbuf), (pos, records.shape, blo, bn, row_id)
 
 
-def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, out_ref, scr_pos, scr_g,
-                 sem, *, band_px: int):
+def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, id_hbm, out_ref,
+                 scr_pos, scr_g, scr_id, sem, *, band_px: int):
     """Backward of the one-hot select WITHOUT a scatter: the adjoint of
     sel = onehot @ rec is d_rec = onehot^T @ g — another one-hot matmul.
     Per (image, 8-chunk group) program: accumulate over the bands whose
-    candidate window intersects the group (2-3 on coherent meshes). This
-    replaces the XLA segment-sum scatter, which ran at ~element/cycle
-    (~200 ms per batch-32 train step); the MXU form is ~50x faster."""
+    candidate window intersects the group (2-3 on coherent meshes). The
+    one-hot keys each ROW'S face id (id_hbm, the raster row -> face id
+    table) against the winner ids, so it is exact under any row order.
+    This replaces the XLA segment-sum scatter, which ran at
+    ~element/cycle (~200 ms per batch-32 train step); the MXU form is
+    ~50x faster."""
     b = pl.program_id(0)
     g = pl.program_id(1)
     lo = blo_ref[b, g]
     hi = bhi_ref[b, g]
 
-    tri_i = (jax.lax.broadcasted_iota(jnp.int32, (_GLANES, 1), 0)
-             + g * _GLANES)
+    di = pltpu.make_async_copy(
+        id_hbm.at[pl.ds(g * _GLANES, _GLANES)], scr_id, sem.at[2])
+    di.start()
+    di.wait()
+    tri_i = scr_id[...]                     # (GLANES, 1) face ids
 
     def body(band, acc):
         dp = pltpu.make_async_copy(pos_hbm.at[b, band], scr_pos, sem.at[0])
@@ -742,7 +875,7 @@ def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, out_ref, scr_pos, scr_g,
         dg.start()
         dp.wait()
         dg.wait()
-        # pixel winners of this band vs this group's triangle rows
+        # pixel winners of this band vs this group's row face ids
         onehot_t = (scr_pos[...] == tri_i).astype(jnp.bfloat16)
         gt = scr_g[...]                         # (fields, band_px) f32
         hi_f = jax.lax.bitcast_convert_type(
@@ -761,22 +894,28 @@ def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, out_ref, scr_pos, scr_g,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("rows", "height", "width", "tile_h"))
-def _select_grad(pos, g_sel, blo, bn, *, rows: int, height: int, width: int,
-                 tile_h: int):
-    """pos (B,H,W) winner ids, g_sel (B,48,H,W) cotangent, band chunk
-    windows -> d attribute-records (B, rows, 16): radiance lo-fields 9:18
-    and corner lo-fields of the split layout, group-blocked matmul
-    adjoint."""
+                   static_argnames=("rows", "height", "width", "tile_h",
+                                    "n_cols"))
+def _select_grad(pos, g_sel, blo, bn, row_id, *, rows: int, height: int,
+                 width: int, tile_h: int, n_cols: int):
+    """pos (B,H,W) winner face ids, g_sel (B,48,H,W) cotangent, band
+    union chunk windows, row_id (F',) raster row -> face id -> d
+    attribute-records (B, rows, 24) in raster row order: radiance
+    lo-fields 9:18 and corner lo-fields of the split layout,
+    group-blocked matmul adjoint."""
     bsz = pos.shape[0]
     # sublane-aligned like the forward: band_px is the matmul's contraction
     # dim here, so 128-lane rounding would pay extra MXU passes for columns
     # whose pos is -1 (the HBM buffer still tiles to 128 internally, but
     # the DMA and the dot only touch the live columns)
-    tile_w = ((width + 7) // 8) * 8
+    tile_w = col_width(width, n_cols) * n_cols
     band_px = tile_h * tile_w
     n_bands = (height + tile_h - 1) // tile_h
     ngrp = rows // _GLANES
+
+    # raster row -> face id table; slack rows key to an unmatchable id
+    id_tbl = jnp.full((rows, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
+    id_tbl = id_tbl.at[:row_id.shape[0], 0].set(row_id)
 
     # gather the differentiable cotangent fields into the 24-wide
     # attribute layout. In an exact multi-part split x = p0 + ... + pk,
@@ -789,12 +928,18 @@ def _select_grad(pos, g_sel, blo, bn, *, rows: int, height: int, width: int,
          jnp.zeros_like(g_sel[:, :7])], axis=1)          # (B, 24, H, W)
     pad_h = n_bands * tile_h - height
     pad_w = tile_w - width
+    col_w = tile_w // n_cols
+    # column-blocked y-major band layout (pix = col*col_px + y*col_w + x),
+    # matching the forward kernel; col_w stays the minor dim throughout
     g24 = jnp.pad(g24, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
-    g_b = g24.reshape(bsz, _FIELDS, n_bands, band_px)
-    g_b = jnp.transpose(g_b, (0, 2, 1, 3))               # (B, nb, 24, band_px)
+    g_b = g24.reshape(bsz, _FIELDS, n_bands, tile_h, n_cols, col_w)
+    g_b = jnp.transpose(g_b, (0, 2, 1, 4, 3, 5))
+    g_b = g_b.reshape(bsz, n_bands, _FIELDS, band_px)
     pos_p = jnp.pad(pos, ((0, 0), (0, pad_h), (0, pad_w)),
                     constant_values=-1)
-    pos_b = pos_p.reshape(bsz, n_bands, 1, band_px)
+    pos_b = pos_p.reshape(bsz, n_bands, tile_h, n_cols, col_w)
+    pos_b = jnp.transpose(pos_b, (0, 1, 3, 2, 4)).reshape(
+        bsz, n_bands, 1, band_px)
 
     # per 8-chunk group: the contiguous range of bands whose chunk window
     # intersects it (every band on incoherent meshes — slow but correct)
@@ -816,11 +961,13 @@ def _select_grad(pos, g_sel, blo, bn, *, rows: int, height: int, width: int,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),       # pos, HBM
                 pl.BlockSpec(memory_space=pl.ANY),       # g, HBM
+                pl.BlockSpec(memory_space=pl.ANY),       # row ids, HBM
             ],
             scratch_shapes=[
                 pltpu.VMEM((1, band_px), jnp.int32),
                 pltpu.VMEM((_FIELDS, band_px), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((_GLANES, 1), jnp.int32),
+                pltpu.SemaphoreType.DMA((3,)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, _FIELDS, _GLANES),
@@ -833,27 +980,29 @@ def _select_grad(pos, g_sel, blo, bn, *, rows: int, height: int, width: int,
                                  jnp.float32),
         ],
         interpret=_interpret(),
-    )(b_lo, b_hi, pos_b, g_b)[0]
+    )(b_lo, b_hi, pos_b, g_b, id_tbl)[0]
 
-    # (B, ngrp, 16, GLANES) -> (B, rows, 16): inverse of _chunk_layout
+    # (B, ngrp, 24, GLANES) -> (B, rows, 24): inverse of _chunk_layout
     # at 8-chunk granularity
     grad = grad.reshape(bsz, ngrp, _FIELDS, _GLANES)
     grad = grad.transpose(0, 1, 3, 2).reshape(bsz, rows, _FIELDS)
     return grad
 
 
-def _rs_bwd(height, width, tile_h, cull_backfaces, res, g):
-    pos, rec_shape, blo, bn = res
+def _rs_bwd(n_faces, height, width, tile_h, n_cols, cull_backfaces, res,
+            g):
+    pos, rec_shape, blo, bn, row_id = res
     _, g_sel, _ = g                    # g_sel is field-major (B, 48, H, W)
     # hi split parts are staircases of the source value (zero derivative
     # a.e.), so only the LO fields carry the cotangent — _select_grad
     # gathers them and runs the matmul adjoint (no scatter)
-    grad = _select_grad(pos, g_sel, blo, bn, rows=rec_shape[1],
-                        height=height, width=width, tile_h=tile_h)
-    return grad, None, None
+    grad = _select_grad(pos, g_sel, blo, bn, row_id, rows=rec_shape[1],
+                        height=height, width=width, tile_h=tile_h,
+                        n_cols=n_cols)
+    return grad, None, None, None
 
 
-rasterize_select.defvjp(_rs_fwd, _rs_bwd)
+_rs_core.defvjp(_rs_fwd, _rs_bwd)
 
 
 @functools.partial(

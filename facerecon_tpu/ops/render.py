@@ -231,19 +231,25 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
         # TPU: fused Pallas hard-visibility + in-kernel MXU one-hot record
         # select (dynamic per-pixel gathers are the slowest stage on TPU;
         # fusing the select into the raster kernel shares the candidate
-        # window DMA and kills the second kernel's per-band fixed cost)
+        # window DMA and kills the second kernel's per-band fixed cost).
+        # Setup/records are laid out in the asset's static raster row
+        # order (bfm.raster_rows: (y-bin, x)-sorted, chunk-aligned bins)
+        # so the kernel's per-column candidate windows stay tight.
         records = _pack_render_records(
-            geom.verts_ndc, radiance, bfm.faces, h, w,
-            rasterize_pallas.padded_rows(bfm.faces.shape[0]))
+            geom.verts_ndc, radiance, bfm.raster_rows, h, w,
+            rasterize_pallas.padded_rows(bfm.raster_rows.shape[0]))
         if inference:
             # forward-only path: shading finishes inside the kernel and
             # only 16 fields/pixel reach HBM (no gradient support)
             tri_id, color, bary, _ = rasterize_pallas.rasterize_shaded(
                 records, geom.verts_ndc, bfm.faces, height=h, width=w,
-                tile_h=cfg.tile_h)
+                tile_h=cfg.tile_h, n_cols=cfg.raster_cols,
+                row_faces=bfm.raster_rows, row_id=bfm.raster_row_id)
         else:
             tri_id, sel, _ = rasterize_pallas.rasterize_select(
-                records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
+                records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h,
+                n_cols=cfg.raster_cols, row_faces=bfm.raster_rows,
+                row_id=bfm.raster_row_id)
             color, bary = _shade_from_sel(tri_id, sel, h, w)
     else:
         tri_id = rasterize_tiled.rasterize_batch(

@@ -46,6 +46,14 @@ class BFMAssets:
     face_adj_slot: np.ndarray   # (F, 3) int32: flat (v*deg_max + rank)
                                 # position of each face corner in the
                                 # vertex adjacency table
+    raster_rows: np.ndarray     # (F', 3) int32 raster row order: faces
+                                # sorted by mean-shape (y-bin, x) with each
+                                # bin padded to a 128 multiple; pads [0,0,0]
+                                # (degenerate, never cover). See
+                                # raster_row_order.
+    raster_row_id: np.ndarray   # (F',) int32 original face id per raster
+                                # row; pads hold F+1 (sentinel no pixel can
+                                # select)
 
     @property
     def n_vertices(self) -> int:
@@ -62,9 +70,10 @@ def save_npz(path: str, assets: BFMAssets) -> None:
 
 def load_npz(path: str) -> BFMAssets:
     """Load an asset pack. The adjacency tables (vertex_face_adj,
-    vertex_corner_adj, face_adj_slot) are derived data — packs saved before
+    vertex_corner_adj, face_adj_slot) and the raster row order
+    (raster_rows, raster_row_id) are derived data — packs saved before
     they existed, or prepared externally per the drop-in contract, may omit
-    them; they are recomputed from `faces` here."""
+    them; they are recomputed from `faces` (+ `mean_shape`) here."""
     with np.load(path) as z:
         fields = {f.name: z[f.name]
                   for f in dataclasses.fields(BFMAssets) if f.name in z}
@@ -75,7 +84,68 @@ def load_npz(path: str) -> BFMAssets:
             fields["faces"], n, with_corners=True)
         fields.update(vertex_face_adj=adj, vertex_corner_adj=corner_adj,
                       face_adj_slot=face_slot)
+    if "raster_rows" not in fields or "raster_row_id" not in fields:
+        rows, row_id = raster_row_order(fields["faces"],
+                                        fields["mean_shape"])
+        fields.update(raster_rows=rows, raster_row_id=row_id)
     return BFMAssets(**fields)
+
+
+def raster_row_order(faces: np.ndarray, mean_shape: np.ndarray,
+                     bin_px: float = 2.0, chunk: int = 128,
+                     image_size: int = 224, focal: float = 1015.0,
+                     camera_distance: float = 10.0):
+    """Static raster row order: faces sorted by mean-shape screen
+    (y-bin, x centroid), each bin padded to a `chunk` multiple.
+
+    The Pallas rasterizer's per-(band, column) candidate windows are
+    CONTIGUOUS chunk spans (ops/binning.bin_triangles_static). Two things
+    make those spans tight: x-ascending order inside each y bin (a column
+    intersects one short run), and chunk-aligned bins (no chunk straddles a
+    bin seam — seam chunks span the full face width and drag every
+    column's contiguous span wide; measured p90 chunk x-extent 114px vs
+    p50 23px at 224px without alignment). The order is built ONCE from the
+    mean shape at the canonical zero pose — per-pose windows are computed
+    from actual positions at run time, so a bad order only loosens
+    windows, never correctness. Pads are [0,0,0] (zero area, never cover)
+    with row id F+1 (never selected).
+
+    Returns (raster_rows (F',3) int32, raster_row_id (F',) int32),
+    F' = F rounded up per bin, typically < 1.05 F.
+    """
+    f = faces.shape[0]
+    mean = mean_shape.reshape(-1, 3)
+    z = camera_distance - mean[:, 2]
+    u = focal * mean[:, 0] / z + image_size / 2.0
+    v = image_size / 2.0 - focal * mean[:, 1] / z
+    fv = v[faces]
+    fu = u[faces]
+    ybin = np.floor(fv.min(axis=1) / bin_px).astype(np.int64)
+    order = np.argsort(ybin * (2.0 ** 32) + fu.mean(axis=1), kind="stable")
+    yb_sorted = ybin[order]
+    # merge consecutive y bins below ~3 chunks: tiny bins pay the full
+    # chunk-alignment pad for no pruning gain (a small mesh's columns are
+    # cheap anyway); big meshes keep their natural 2px bins
+    min_bin = 3 * chunk
+    ids = []
+    pend = []
+    pend_n = 0
+    for b in np.unique(yb_sorted):        # ascending y
+        idx = order[yb_sorted == b]
+        pend.append(idx)
+        pend_n += len(idx)
+        if pend_n >= min_bin:
+            ids.append(np.concatenate(pend))
+            ids.append(np.full((-pend_n) % chunk, -1, np.int64))
+            pend, pend_n = [], 0
+    if pend_n:
+        ids.append(np.concatenate(pend))
+        ids.append(np.full((-pend_n) % chunk, -1, np.int64))
+    row = np.concatenate(ids) if ids else np.zeros((0,), np.int64)
+    pad = row < 0
+    rows = np.where(pad[:, None], 0, faces[np.clip(row, 0, None)])
+    row_id = np.where(pad, f + 1, row)
+    return rows.astype(np.int32), row_id.astype(np.int32)
 
 
 def vertex_face_adjacency(faces: np.ndarray, n_vertices: int,
@@ -206,10 +276,11 @@ def synthetic_bfm(cfg: FaceReconConfig, seed: int = 0) -> BFMAssets:
 
     adj, corner_adj, face_slot = vertex_face_adjacency(
         faces, n, with_corners=True)
+    rows_r, row_id = raster_row_order(faces, mean_shape)
     return BFMAssets(
         mean_shape=mean_shape, id_basis=id_basis, exp_basis=exp_basis,
         mean_tex=mean_tex, tex_basis=tex_basis,
         sigma_id=sigma_id, sigma_exp=sigma_exp, sigma_tex=sigma_tex,
         faces=faces, landmark_index=landmark_index, skin_mask=skin_mask,
         vertex_face_adj=adj, vertex_corner_adj=corner_adj,
-        face_adj_slot=face_slot)
+        face_adj_slot=face_slot, raster_rows=rows_r, raster_row_id=row_id)

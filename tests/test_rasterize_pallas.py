@@ -197,6 +197,58 @@ def test_shaded_matches_select_path(cfg, assets, rng):
     assert np.all(np.isinf(np.asarray(zb)[~cov]))
 
 
+def test_raster_row_order_and_columns_match_identity(cfg, assets, rng):
+    """The shipped TPU configuration — static (y-bin, x)-sorted chunk-
+    aligned raster row order + multi-column windows — must produce
+    IDENTICAL tri_id/sel/zbuf to the identity-order single-column path
+    (same float ops on the same winner records; only the candidate
+    enumeration changes), and its VJP must be the identity VJP routed
+    through the row permutation."""
+    bfm, c, geom = _geom(cfg, assets, rng, batch=2)
+    h = w = cfg.image_size
+    radiance = sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
+    f = bfm.faces.shape[0]
+
+    rec_id = _pack_render_records(
+        geom.verts_ndc, radiance, bfm.faces, h, w, RP.padded_rows(f))
+    tid0, sel0, zb0 = RP.rasterize_select(
+        rec_id, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
+
+    rows = bfm.raster_rows
+    rid = bfm.raster_row_id
+    rec_rows = _pack_render_records(
+        geom.verts_ndc, radiance, rows, h, w,
+        RP.padded_rows(rows.shape[0]))
+    for n_cols in (1, 4):
+        tid, sel, zb = RP.rasterize_select(
+            rec_rows, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h,
+            n_cols=n_cols, row_faces=rows, row_id=rid)
+        assert np.array_equal(np.asarray(tid), np.asarray(tid0)), n_cols
+        np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel0))
+        np.testing.assert_array_equal(np.asarray(zb), np.asarray(zb0))
+
+    # VJP: the row-order gradient is the identity gradient permuted to
+    # rows (zero at bin-pad rows)
+    def loss_id(r):
+        _, sel, _ = RP.rasterize_select(
+            r, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
+        return jnp.sum(sel[:, 9:18] ** 2)
+
+    def loss_rows(r):
+        _, sel, _ = RP.rasterize_select(
+            r, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h, n_cols=4,
+            row_faces=rows, row_id=rid)
+        return jnp.sum(sel[:, 9:18] ** 2)
+
+    g_id = np.asarray(jax.grad(loss_id)(rec_id))
+    g_rows = np.asarray(jax.grad(loss_rows)(rec_rows))
+    rid_np = np.asarray(rid)
+    live = rid_np <= f - 1
+    np.testing.assert_allclose(g_rows[:, :rid_np.shape[0]][:, live],
+                               g_id[:, rid_np[live]], atol=1e-5)
+    assert np.all(g_rows[:, :rid_np.shape[0]][:, ~live] == 0.0)
+
+
 def test_pallas_z_fighting_tie_rule(cfg):
     """Two identical triangles: the lower face id must win, also across
     chunk/group boundaries (the second copy padded far down the array)."""
