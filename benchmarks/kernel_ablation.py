@@ -255,7 +255,7 @@ def main():
         (blo, bn), _, coeffs = RP._band_windows(
             geom.verts_ndc, bfm.faces, rid, size, size, tile_h, 1, False)
         return (blo, bn, jnp.transpose(coeffs, (0, 2, 1)),
-                jnp.transpose(RP._split_records(records, rid), (0, 2, 1)))
+                RP._split_records(records, rid))
 
     blo, bn, setup_t, rec_t = jax.block_until_ready(prep(cv))
     print(f"prep ready  (batch {batch}, {size}px, tile_h {tile_h}, "

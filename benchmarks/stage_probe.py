@@ -88,7 +88,7 @@ def main():
             vndc * (1.0 + seed), row_faces, row_id, h, w, tile_h,
             n_cols, False)
         st = jnp.transpose(coeffs, (0, 2, 1))
-        rt = jnp.transpose(RP._split_records(records, row_id), (0, 2, 1))
+        rt = RP._split_records(records, row_id)
         return (jnp.sum(clo).astype(jnp.float32) + st[0, 0, 0]
                 + rt[0, 0, 0].astype(jnp.float32))
 

@@ -203,6 +203,107 @@ def bin_triangles_static(verts_ndc, faces, height: int, width: int,
     return StaticSetup(coeffs=coeffs, band_lo=band_lo, n_chunks=n_chunks)
 
 
+class StaticSetupT(NamedTuple):
+    coeffs_t: jnp.ndarray    # (B, SETUP_WIDTH, F) f32, FIELD-MAJOR
+    band_lo: jnp.ndarray     # (B, n_bands, n_cols) int32 first chunk
+    n_chunks: jnp.ndarray    # (B, n_bands, n_cols) int32 window count
+
+
+def bin_triangles_static_t(verts_ndc, faces, height: int, width: int,
+                           tile_h: int, chunk: int,
+                           cull_backfaces: bool = False,
+                           tile_w: int = 128) -> StaticSetupT:
+    """Batched FIELD-MAJOR twin of bin_triangles_static (same windows,
+    same setup values) built for the TPU memory system: the corner
+    gather stays batch-major (row gathers), every derived field is a
+    (B, F) block, and coeffs_t (B, 12, F) materializes ONCE by stacking
+    fields on axis 1 — no B-to-rows transpose anywhere (one such
+    transpose measured ~10-25 ms/128 at 224px in relayout traffic), and
+    it is already the layout the Pallas kernel DMAs.
+    """
+    bsz = verts_ndc.shape[0]
+    f = faces.shape[0]
+    screen = ndc_to_screen(verts_ndc, height, width)          # (B,N,2)
+    pv = jnp.concatenate([screen, verts_ndc[..., 2:3]], -1)   # (B,N,3)
+    idx = jnp.transpose(faces).reshape(-1)                    # corner-major
+    corners = jnp.take(pv, idx, axis=1)                       # (B, 3F, 3)
+
+    def fld(c, k):
+        return corners[:, c * f:(c + 1) * f, k]               # (B, F)
+
+    x0, y0, z0 = fld(0, 0), fld(0, 1), fld(0, 2)
+    x1, y1, z1 = fld(1, 0), fld(1, 1), fld(1, 2)
+    x2, y2, z2 = fld(2, 0), fld(2, 1), fld(2, 2)
+
+    u1 = x1 - x0
+    v1 = y1 - y0
+    u2 = x2 - x0
+    v2 = y2 - y0
+    area = u1 * v2 - v1 * u2
+    dead = jnp.abs(area) <= 1e-12
+    if cull_backfaces:
+        dead = dead | (area > 0)
+    inv_area = jnp.where(dead, 0.0, 1.0 / jnp.where(dead, 1.0, area))
+    wa0 = (v1 - v2) * inv_area
+    wb0 = (u2 - u1) * inv_area
+    wc0 = (u1 * v2 - u2 * v1) * inv_area
+    wa1 = v2 * inv_area
+    wb1 = -u2 * inv_area
+    wc1 = jnp.zeros_like(wa1)
+    za = wa0 * (z0 - z2) + wa1 * (z1 - z2)
+    zb = wb0 * (z0 - z2) + wb1 * (z1 - z2)
+    wc0 = jnp.where(dead, _NEG, wc0)
+    wc1 = jnp.where(dead, _NEG, wc1)
+    wa0 = jnp.where(dead, 0.0, wa0)
+    wb0 = jnp.where(dead, 0.0, wb0)
+    wa1 = jnp.where(dead, 0.0, wa1)
+    wb1 = jnp.where(dead, 0.0, wb1)
+
+    big = jnp.float32(3e38)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.where(dead, big, ymin)
+    ymax = jnp.where(dead, -big, ymax)
+    xmin = jnp.where(dead, big, xmin)
+    xmax = jnp.where(dead, -big, xmax)
+
+    coeffs_t = jnp.stack(
+        [wa0, wb0, wc0, wa1, wb1, wc1, za, zb, z0, x0, y0, ymin],
+        axis=1)                                   # (B, 12, F)
+
+    pad = (-f) % chunk
+    pads = ((0, 0), (0, pad))
+    ymin_t = jnp.pad(ymin, pads, constant_values=big)
+    ymax_t = jnp.pad(ymax, pads, constant_values=-big)
+    xmin_t = jnp.pad(xmin, pads, constant_values=big)
+    xmax_t = jnp.pad(xmax, pads, constant_values=-big)
+    nct = ymin_t.shape[1] // chunk
+    cymin = jnp.min(ymin_t.reshape(bsz, nct, chunk), axis=2)  # (B, nct)
+    cymax = jnp.max(ymax_t.reshape(bsz, nct, chunk), axis=2)
+    cxmin = jnp.min(xmin_t.reshape(bsz, nct, chunk), axis=2)
+    cxmax = jnp.max(xmax_t.reshape(bsz, nct, chunk), axis=2)
+
+    n_bands = (height + tile_h - 1) // tile_h
+    n_cols = (width + tile_w - 1) // tile_w
+    band_tops = jnp.arange(n_bands, dtype=jnp.float32) * tile_h
+    col_lefts = jnp.arange(n_cols, dtype=jnp.float32) * tile_w
+    hit_y = ((cymin[:, None] <= (band_tops + tile_h)[None, :, None])
+             & (cymax[:, None] >= band_tops[None, :, None]))
+    hit_x = ((cxmin[:, None] <= (col_lefts + tile_w)[None, :, None])
+             & (cxmax[:, None] >= col_lefts[None, :, None]))
+    hit = hit_y[:, :, None] & hit_x[:, None]      # (B, bands, cols, nct)
+    any_hit = jnp.any(hit, axis=3)
+    first = jnp.argmax(hit, axis=3).astype(jnp.int32)
+    last = (nct - 1
+            - jnp.argmax(hit[:, :, :, ::-1], axis=3)).astype(jnp.int32)
+    band_lo = jnp.where(any_hit, first, 0)
+    n_chunks = jnp.where(any_hit, last - first + 1, 0).astype(jnp.int32)
+    return StaticSetupT(coeffs_t=coeffs_t, band_lo=band_lo,
+                        n_chunks=n_chunks)
+
+
 def bin_triangles(verts_ndc, faces, height: int, width: int,
                   tile_h: int, cull_backfaces: bool = False) -> TriSetup:
     """Sort triangles by ymin and compute per-band candidate ranges."""

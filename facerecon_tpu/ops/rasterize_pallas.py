@@ -57,7 +57,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from facerecon_tpu.ops.binning import SETUP_WIDTH, bin_triangles_static
+from facerecon_tpu.ops.binning import bin_triangles_static_t
 
 _CHUNK = 128            # triangles per chunk (window-granularity unit)
 _WINDOW = 64            # chunks per DMA window (524 KB setup scratch);
@@ -448,8 +448,8 @@ def _split3(x):
 
 
 def _split_records(records, row_id):
-    """Build the (B, rows, 48) bf16 pre-split select record from the
-    24-wide differentiable attribute record (_pack_render_records).
+    """Build the (B, 48, rows) bf16 pre-split select record from the
+    24-field differentiable attribute record (_pack_render_records).
 
     Layout (all parts exactly bf16; reconstruction is a plain f32 sum):
       0:9    radiance corner hi    9:18   radiance corner lo (16-bit)
@@ -464,24 +464,29 @@ def _split_records(records, row_id):
              0 = none; bin-pad rows carry the F+2 sentinel via row_id.
       45:48  pad
 
+    records are FIELD-MAJOR (B, 24, rows); the output is (B, 48, rows) —
+    exactly the lane-transposed layout the kernel DMAs, so no transpose
+    ever materializes (the old feature-minor layout + transpose cost
+    ~40 ms/128 at 224px in padded-tile traffic).
+
     row_id (rows',) int32: original face id per record row (rows' <= rows;
     trailing all-zero pad records keep byte value 0 = background key,
     which only ever matches uncovered pixels and contributes zeros).
     """
-    rad_hi, rad_lo = _split2(records[..., 0:9])
-    w0p, w1p, w2p = _split3(records[..., 9:15])
-    x0 = _split3(records[..., 15:16])
-    y0 = _split3(records[..., 16:17])
-    rows = records.shape[-2]
+    rad_hi, rad_lo = _split2(records[:, 0:9])
+    w0p, w1p, w2p = _split3(records[:, 9:15])
+    x0 = _split3(records[:, 15:16])
+    y0 = _split3(records[:, 16:17])
+    rows = records.shape[-1]
     rid = jnp.zeros((rows,), jnp.int32).at[:row_id.shape[0]].set(
-        row_id + 1)[None, :, None]
+        row_id + 1)[None, None, :]
     idb = jnp.concatenate(
         [rid & 255, (rid >> 8) & 255, rid >> 16],
-        axis=-1).astype(jnp.bfloat16)                # byte-valued: exact
-    idb = jnp.broadcast_to(idb, (*records.shape[:-1], 3))
-    pad = jnp.zeros((*records.shape[:-1], 3), jnp.bfloat16)
+        axis=1).astype(jnp.bfloat16)                 # byte-valued: exact
+    idb = jnp.broadcast_to(idb, (records.shape[0], 3, rows))
+    pad = jnp.zeros((records.shape[0], 3, rows), jnp.bfloat16)
     return jnp.concatenate(
-        [rad_hi, rad_lo, w0p, w1p, w2p, *x0, *y0, idb, pad], axis=-1)
+        [rad_hi, rad_lo, w0p, w1p, w2p, *x0, *y0, idb, pad], axis=1)
 
 
 def col_width(width: int, n_cols: int) -> int:
@@ -504,11 +509,10 @@ def _band_windows(verts_ndc, row_faces, row_id, height, width, tile_h,
     reproduces the oracle's lowest-face-id rule exactly."""
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols)
-    setup = jax.vmap(
-        lambda v: bin_triangles_static(v, row_faces, height, width, tile_h,
-                                       _CHUNK, cull_backfaces,
-                                       tile_w=tile_w))(verts_ndc)
-    f = setup.coeffs.shape[1]
+    setup = bin_triangles_static_t(verts_ndc, row_faces, height, width,
+                                   tile_h, _CHUNK, cull_backfaces,
+                                   tile_w=tile_w)
+    f = setup.coeffs_t.shape[2]
     clo = setup.band_lo.astype(jnp.int32)        # (B, n_bands, n_cols)
     cn = setup.n_chunks.astype(jnp.int32)
     chi = jnp.where(cn > 0, clo + cn, 0)
@@ -519,15 +523,18 @@ def _band_windows(verts_ndc, row_faces, row_id, height, width, tile_h,
     bn = jnp.where(any_c, bhi - blo, 0)
 
     rows = padded_rows(f)
-    idcol = jnp.broadcast_to(
-        row_id.astype(jnp.float32)[None, :, None], (bsz, f, 1))
-    coeffs = jnp.concatenate([setup.coeffs, idcol], axis=-1)
-    coeffs = jnp.pad(coeffs, ((0, 0), (0, rows - f),
-                              (0, _ROW_PAD - SETUP_WIDTH - 1)))
-    # dead padding must never cover: wc0 = wc1 = -inf
+    # field-major assembly: [setup 12 | id 1 | pad 3] rows, then dead row
+    # padding along the minor axis (wc0/wc1 = -inf so pads never cover)
+    idrow = jnp.broadcast_to(
+        row_id.astype(jnp.float32)[None, None, :], (bsz, 1, f))
+    zero = jnp.zeros((bsz, 3, f), jnp.float32)
+    coeffs = jnp.concatenate([setup.coeffs_t, idrow, zero], axis=1)
     if rows - f:
-        coeffs = coeffs.at[:, f:, 2].set(-3e38)
-        coeffs = coeffs.at[:, f:, 5].set(-3e38)
+        deadcol = jnp.zeros((_ROW_PAD, 1), jnp.float32)
+        deadcol = deadcol.at[2, 0].set(-3e38).at[5, 0].set(-3e38)
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.broadcast_to(deadcol[None],
+                                      (bsz, _ROW_PAD, rows - f))], axis=2)
     return (clo.reshape(bsz, -1), cn.reshape(bsz, -1)), (blo, bn), coeffs
 
 
@@ -583,7 +590,7 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
     (clo, cn), (blo, bn), coeffs = _band_windows(
         verts_ndc, row_faces, row_id, height, width, tile_h, n_cols,
         cull_backfaces)
-    setup_t = jnp.transpose(coeffs, (0, 2, 1))   # (B, 16 fields, rows)
+    setup_t = coeffs                             # (B, 16 fields, rows)
 
     pos, zbuf = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
@@ -651,8 +658,8 @@ def _fused_impl(records, verts_ndc, row_faces, row_id, *, n_faces: int,
     # setup and records LANE-TRANSPOSED: (B, fields, rows) — a window DMA
     # lands all its chunks side-by-side on lanes so slabs read static
     # lane slices
-    setup_t = jnp.transpose(coeffs, (0, 2, 1))
-    rec_t = jnp.transpose(_split_records(records, row_id), (0, 2, 1))
+    setup_t = coeffs                   # already (B, 16 fields, rows)
+    rec_t = _split_records(records, row_id)
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
@@ -744,8 +751,8 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
     (clo, cn), _, coeffs = _band_windows(
         verts_ndc, row_faces, row_id, height, width, tile_h, n_cols,
         cull_backfaces)
-    setup_t = jnp.transpose(coeffs, (0, 2, 1))
-    rec_t = jnp.transpose(_split_records(records, row_id), (0, 2, 1))
+    setup_t = coeffs                   # already (B, 16 fields, rows)
+    rec_t = _split_records(records, row_id)
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
@@ -900,7 +907,7 @@ def _select_grad(pos, g_sel, blo, bn, row_id, *, rows: int, height: int,
                  width: int, tile_h: int, n_cols: int):
     """pos (B,H,W) winner face ids, g_sel (B,48,H,W) cotangent, band
     union chunk windows, row_id (F',) raster row -> face id -> d
-    attribute-records (B, rows, 24) in raster row order: radiance
+    attribute-records (B, 24, rows) field-major (raster row order): radiance
     lo-fields 9:18 and corner lo-fields of the split layout,
     group-blocked matmul adjoint."""
     bsz = pos.shape[0]
@@ -982,10 +989,10 @@ def _select_grad(pos, g_sel, blo, bn, row_id, *, rows: int, height: int,
         interpret=_interpret(),
     )(b_lo, b_hi, pos_b, g_b, id_tbl)[0]
 
-    # (B, ngrp, 24, GLANES) -> (B, rows, 24): inverse of _chunk_layout
-    # at 8-chunk granularity
+    # (B, ngrp, 24, GLANES) -> (B, 24, rows): field-major like the
+    # records (rows = ngrp * GLANES concatenated along the minor axis)
     grad = grad.reshape(bsz, ngrp, _FIELDS, _GLANES)
-    grad = grad.transpose(0, 1, 3, 2).reshape(bsz, rows, _FIELDS)
+    grad = grad.transpose(0, 2, 1, 3).reshape(bsz, _FIELDS, rows)
     return grad
 
 
@@ -996,7 +1003,7 @@ def _rs_bwd(n_faces, height, width, tile_h, n_cols, cull_backfaces, res,
     # hi split parts are staircases of the source value (zero derivative
     # a.e.), so only the LO fields carry the cotangent — _select_grad
     # gathers them and runs the matmul adjoint (no scatter)
-    grad = _select_grad(pos, g_sel, blo, bn, row_id, rows=rec_shape[1],
+    grad = _select_grad(pos, g_sel, blo, bn, row_id, rows=rec_shape[2],
                         height=height, width=width, tile_h=tile_h,
                         n_cols=n_cols)
     return grad, None, None, None
@@ -1021,10 +1028,12 @@ def rasterize_batch(verts_ndc, faces, *, height: int, width: int, cfg=None,
         cull_backfaces=cull_backfaces)
     hit = tri_id >= 0
     safe = jnp.maximum(tri_id, 0)
-    # barycentrics from the winner's affine record (non-differentiable path;
-    # render.py recomputes them differentiably from tri_id)
+    # barycentrics from the winner's affine record (non-differentiable
+    # path; render.py recomputes them differentiably from tri_id).
+    # records are field-major (B, 16, rows): gather rows per pixel
     rec = jnp.take_along_axis(
-        records, safe.reshape(records.shape[0], -1, 1), axis=1
+        jnp.transpose(records, (0, 2, 1)),
+        safe.reshape(records.shape[0], -1, 1), axis=1
     ).reshape(*tri_id.shape, _ROW_PAD)
     jj, ii = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
     qx = (jj + 0.5).astype(jnp.float32)[None] - rec[..., 9]

@@ -86,33 +86,42 @@ def interpolate(tri_id, bary, faces, attrs):
 
 def _pack_render_records(verts_ndc, radiance, faces, height: int,
                          width: int, pad_rows: int):
-    """Per-face differentiable render attributes -> (B, pad_rows, 24):
-    [radiance corners 9 | anchored affine w-coefficients 6 | anchor x0,y0
-    | pad 7].
+    """Per-face differentiable render attributes, FIELD-MAJOR
+    (B, 24, pad_rows): [radiance corners 9 | anchored affine
+    w-coefficients 6 | anchor x0,y0 | pad 7].
 
     The affine coefficients are computed HERE, from the differentiable
     vertex positions, with the same float ops as the rasterizer's setup
     (ops/binning.affine_forms) — so the per-pixel barycentrics
     reconstructed from the selected record equal the rasterizer's exactly
-    AND carry dL/dV_xy without any corner-recompute detour. (An earlier
-    corner-based record quantized the affine forms to 16 bits, which
-    exploded barycentrics on sliver triangles whose coefficients are
-    O(1/area).)"""
+    AND carry dL/dV_xy without any corner-recompute detour.
+
+    Layout is everything on TPU: the corner gather stays batch-major
+    (row gathers, ~6 ms/128 at 224px) but every derived field is a
+    (B, F) block stacked on axis 1 — the record materializes ONCE,
+    already field-major, with no B-to-rows transpose anywhere (one such
+    transpose of the assembled record measured ~15-25 ms/128 in padded
+    relayout traffic)."""
     from facerecon_tpu.ops.binning import affine_forms
     screen = rasterize_jnp.ndc_to_screen(verts_ndc, height, width)  # (B,N,2)
     b = radiance.shape[0]
+    f = faces.shape[0]
     per_vert = jnp.concatenate([radiance, screen], axis=-1)   # (B, N, 5)
-    corners = jnp.take(per_vert, faces.reshape(-1), axis=1)   # (B, 3F, 5)
-    corners = corners.reshape(b, -1, 3, 5)
-    rad = corners[..., 0:3].reshape(b, -1, 9)
-    p0 = corners[..., 0, 3:5]
-    p1 = corners[..., 1, 3:5]
-    p2 = corners[..., 2, 3:5]
+    idx = jnp.transpose(faces).reshape(-1)                    # corner-major
+    corners = jnp.take(per_vert, idx, axis=1)                 # (B, 3F, 5)
+
+    def fld(c, k):
+        return corners[:, c * f:(c + 1) * f, k]               # (B, F)
+
+    p0 = jnp.stack([fld(0, 3), fld(0, 4)], axis=-1)           # (B, F, 2)
+    p1 = jnp.stack([fld(1, 3), fld(1, 4)], axis=-1)
+    p2 = jnp.stack([fld(2, 3), fld(2, 4)], axis=-1)
     wa0, wb0, wc0, wa1, wb1, wc1, _ = affine_forms(p0, p1, p2)
-    rec = jnp.concatenate(
-        [rad, jnp.stack([wa0, wb0, wc0, wa1, wb1, wc1], axis=-1), p0,
-         jnp.zeros((b, rad.shape[1], 7), rad.dtype)], axis=-1)
-    return jnp.pad(rec, ((0, 0), (0, pad_rows - rec.shape[1]), (0, 0)))
+    rows24 = ([fld(c, k) for c in range(3) for k in range(3)]  # radiance
+              + [wa0, wb0, wc0, wa1, wb1, wc1, fld(0, 3), fld(0, 4)]
+              + [jnp.zeros((b, f), radiance.dtype)] * 7)
+    rec = jnp.stack(rows24, axis=1)                           # (B, 24, F)
+    return jnp.pad(rec, ((0, 0), (0, 0), (0, pad_rows - f)))
 
 
 def _shade_from_sel(tri_id, sel, height: int, width: int):

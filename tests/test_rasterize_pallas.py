@@ -155,9 +155,9 @@ def test_fused_select_vjp_is_scatter_add(cfg, assets, rng):
                          out[..., 39:42].sum(-1)], -1)
         return jnp.sum(jnp.concatenate([rad, wcf, anc], -1) * g17)
 
-    grad = np.asarray(jax.grad(f)(records))
+    grad = np.asarray(jax.grad(f)(records))   # (B, 24, rows) field-major
     pos = np.asarray(tid)
-    exp = np.zeros(records.shape, np.float32)
+    exp = np.zeros((records.shape[0], records.shape[2], 24), np.float32)
     gn = np.concatenate([np.asarray(g17),
                          np.zeros((*pos.shape, 7), np.float32)], -1)
     b_idx, i_idx, j_idx = np.nonzero(pos >= 0)
@@ -165,7 +165,7 @@ def test_fused_select_vjp_is_scatter_add(cfg, assets, rng):
               gn[b_idx, i_idx, j_idx])
     # the matmul adjoint carries the cotangent at 16-bit (hi/lo bf16
     # split) — training-grade precision by design
-    np.testing.assert_allclose(grad, exp, atol=1e-4)
+    np.testing.assert_allclose(grad, exp.transpose(0, 2, 1), atol=1e-4)
 
 
 def test_shaded_matches_select_path(cfg, assets, rng):
@@ -240,13 +240,13 @@ def test_raster_row_order_and_columns_match_identity(cfg, assets, rng):
             row_faces=rows, row_id=rid)
         return jnp.sum(sel[:, 9:18] ** 2)
 
-    g_id = np.asarray(jax.grad(loss_id)(rec_id))
+    g_id = np.asarray(jax.grad(loss_id)(rec_id))     # (B, 24, rows)
     g_rows = np.asarray(jax.grad(loss_rows)(rec_rows))
     rid_np = np.asarray(rid)
     live = rid_np <= f - 1
-    np.testing.assert_allclose(g_rows[:, :rid_np.shape[0]][:, live],
-                               g_id[:, rid_np[live]], atol=1e-5)
-    assert np.all(g_rows[:, :rid_np.shape[0]][:, ~live] == 0.0)
+    np.testing.assert_allclose(g_rows[:, :, :rid_np.shape[0]][:, :, live],
+                               g_id[:, :, rid_np[live]], atol=1e-5)
+    assert np.all(g_rows[:, :, :rid_np.shape[0]][:, :, ~live] == 0.0)
 
 
 def test_pallas_z_fighting_tie_rule(cfg):
