@@ -56,7 +56,7 @@ def render512():
 
         def one(cv):
             out = render_coeffs(split_coeff(cv, cfg), bfm, cfg,
-                                inference=False)
+                                inference=True)
             return jnp.mean(out.image, axis=(1, 2, 3))  # depend on shading
 
         means = jax.lax.map(one, cs)

@@ -76,9 +76,9 @@ _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
 _FIELDS = 24            # caller-facing render-attribute record width
 _RFIELDS = 48           # pre-split select record width (see _split_records)
 _OUT_F = 56             # packed bf16 output row: sel 48 | pos 3 | z 2 | pad
-_OUT_S = 16             # shade-mode output row: rgb hi/lo 6 | w0/w1 hi/lo 4
-                        # | pos 3 | z 2 | pad (the select record never
-                        # leaves VMEM; ~3.5x less HBM written per band)
+_OUT_S = 16             # shade-mode output rows: rgb hi/lo 6 | w0/w1
+                        # hi/lo 4 | pos bytes 3 | pad (the select record
+                        # never leaves VMEM; ~3.5x less HBM written)
 
 
 def padded_rows(n_faces: int) -> int:
@@ -306,7 +306,14 @@ def _kernel(clo_ref, cn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
         else:
             pl.when(bn > k * _SEG)(lambda d=rsegs[k]: d.wait())
 
-    scr_acc[...] = jnp.zeros((band_px, _RFIELDS), jnp.float32)
+    # select-mode acc is pixel-major (band_px, 48) — the output row layout;
+    # shade-mode acc is TRANSPOSED (48, band_px) so the shade math runs on
+    # full-lane-width rows (column-form (band_px, 1) shade ops used 1 of
+    # 128 lanes and measured slower than the select path it replaced)
+    if mode == "shade":
+        scr_acc[...] = jnp.zeros((_RFIELDS, band_px), jnp.float32)
+    else:
+        scr_acc[...] = jnp.zeros((band_px, _RFIELDS), jnp.float32)
     posu_f = posbest + 1.0                   # 0 = background, f32-exact
 
     def sel_block(rec):
@@ -314,9 +321,14 @@ def _kernel(clo_ref, cn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
                + rec[43:44].astype(jnp.float32) * 256.0
                + rec[44:45].astype(jnp.float32) * 65536.0)
         onehot = (posu_f == idl).astype(jnp.bfloat16)
-        scr_acc[...] = scr_acc[...] + jax.lax.dot_general(
-            onehot, rec, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if mode == "shade":
+            scr_acc[...] = scr_acc[...] + jax.lax.dot_general(
+                rec, onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            scr_acc[...] = scr_acc[...] + jax.lax.dot_general(
+                onehot, rec, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     for s in range(_WINDOW // _BGRP) if "sel" not in abl else []:
         def ssel(s=s):
@@ -349,6 +361,51 @@ def _kernel(clo_ref, cn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
 
     if "pack" in abl:
         return
+
+    if mode == "shade":
+        # finish shading IN-KERNEL from the selected record in ROW form —
+        # every value below is a (1, band_px) full-lane-width row (same
+        # float ops, same order as ops/render._shade_from_sel reading the
+        # packed fields; each pre-split part is exactly bf16, so the f32
+        # row sums equal the field-reconstruction sums exactly). The
+        # 48-wide record never leaves VMEM; the output carries only
+        # [rgb hi/lo 6 | w0/w1 hi/lo 4 | pos 3 | pad] — the winner's id
+        # bytes arrive in row form through the select itself (record
+        # fields 42:45), and z is not emitted (no inference consumer).
+        acc = scr_acc[...]
+
+        def row(k):
+            return acc[k:k + 1, :]
+
+        def w(k):
+            return row(18 + k) + row(24 + k) + row(30 + k)
+
+        pixr = jax.lax.broadcasted_iota(jnp.int32, (1, band_px), 1)
+        in_colr = pixr % col_px
+        pxr = ((pixr // col_px) * col_w + in_colr % col_w).astype(
+            jnp.float32) + 0.5
+        pyr = ((in_colr // col_w).astype(jnp.float32)
+               + jnp.float32(t * tile_h) + 0.5)
+        x0 = row(36) + row(37) + row(38)
+        y0 = row(39) + row(40) + row(41)
+        qx = pxr - x0
+        qy = pyr - y0
+        w0 = w(0) * qx + w(1) * qy + w(2)
+        w1 = w(3) * qx + w(4) * qy + w(5)
+        w2 = 1.0 - w0 - w1
+        parts = []
+        for c in range(3):
+            cc = (w0 * (row(c) + row(c + 9)) + w1 * (row(c + 3)
+                  + row(c + 12)) + w2 * (row(c + 6) + row(c + 15)))
+            parts.extend(_split2(cc))
+        for v in (w0, w1):
+            parts.extend(_split2(v))
+        idb = [acc[k:k + 1, :].astype(jnp.bfloat16) for k in (42, 43, 44)]
+        packed_ref[0, 0] = jnp.concatenate(
+            [*parts, *idb,
+             jnp.zeros((_OUT_S - 13, band_px), jnp.bfloat16)], axis=0)
+        return
+
     # ONE packed bf16 output row per pixel: separate narrow outputs pad
     # their minor dim to 128 lanes in the tiled HBM layout (a (.., 1) f32
     # plane costs 128x its size). All sel values are exact bf16 by
@@ -360,43 +417,6 @@ def _kernel(clo_ref, cn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
     p2 = (posu >> 16).astype(jnp.bfloat16)
     zsafe = jnp.where(posu > 0, zbuf, 0.0)
     zhi, zlo = _split2(zsafe)
-
-    if mode == "shade":
-        # finish shading IN-KERNEL from the selected record (same float
-        # ops, same order as ops/render._shade_from_sel reading the packed
-        # fields — each pre-split part is exactly bf16, so the f32 column
-        # sums below equal the field-reconstruction sums exactly). The
-        # 48-wide record never leaves VMEM; the output row carries only
-        # [rgb hi/lo 6 | w0/w1 hi/lo 4 | pos 3 | z 2 | pad] — hi+lo
-        # reconstruction keeps >=16 significand bits, the same precision
-        # the select path's radiance fields already carry.
-        acc = scr_acc[...]
-
-        def col(k):
-            return acc[:, k:k + 1]
-
-        def w(k):
-            return col(18 + k) + col(24 + k) + col(30 + k)
-
-        x0 = col(36) + col(37) + col(38)
-        y0 = col(39) + col(40) + col(41)
-        qx = px - x0
-        qy = py - y0
-        w0 = w(0) * qx + w(1) * qy + w(2)
-        w1 = w(3) * qx + w(4) * qy + w(5)
-        w2 = 1.0 - w0 - w1
-        parts = []
-        for c in range(3):
-            cc = (w0 * (col(c) + col(c + 9)) + w1 * (col(c + 3)
-                  + col(c + 12)) + w2 * (col(c + 6) + col(c + 15)))
-            parts.extend(_split2(cc))
-        for v in (w0, w1):
-            parts.extend(_split2(v))
-        packed_ref[0, 0] = jnp.concatenate(
-            [*parts, p0, p1, p2, zhi, zlo,
-             jnp.zeros((band_px, _OUT_S - 15), jnp.bfloat16)], axis=1)
-        return
-
     packed_ref[0, 0] = jnp.concatenate(
         [scr_acc[...].astype(jnp.bfloat16), p0, p1, p2, zhi, zlo,
          jnp.zeros((band_px, _OUT_F - _RFIELDS - 5), jnp.bfloat16)],
@@ -733,10 +753,12 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
     (mode="shade"), so only 16 output fields per pixel reach HBM instead
     of the 48-field record plus a separate shade stage. NON-differentiable
     (inference only — training uses rasterize_select, whose custom VJP is
-    the select's matmul adjoint).
+    the select's matmul adjoint). The shade select runs TRANSPOSED
+    (acc (48, band_px)) so the in-kernel shade math is full-lane-width
+    row ops, and the winner id arrives in row form through the record's
+    id bytes; depth is not emitted (no inference consumer).
 
-    Returns (tri_id (B,H,W) i32, color (B,H,W,3) f32, bary (B,H,W,3),
-    zbuf (B,H,W)).
+    Returns (tri_id (B,H,W) i32, color (B,H,W,3) f32, bary (B,H,W,3)).
     """
     records = jax.lax.stop_gradient(records)
     verts_ndc = jax.lax.stop_gradient(verts_ndc)
@@ -769,23 +791,23 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
                 pltpu.VMEM((_RFIELDS, _WINDOW * _CHUNK), jnp.bfloat16),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
-                pltpu.VMEM((band_px, _RFIELDS), jnp.float32),
+                pltpu.VMEM((_RFIELDS, band_px), jnp.float32),
                 pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, band_px, _OUT_S),
+                pl.BlockSpec((1, 1, _OUT_S, band_px),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, n_bands, band_px, _OUT_S),
+            jax.ShapeDtypeStruct((bsz, n_bands, _OUT_S, band_px),
                                  jnp.bfloat16),
         ],
         interpret=_interpret(),
     )(clo, cn, setup_t, rec_t)[0]
 
-    packed = jnp.transpose(packed, (0, 3, 1, 2))
+    packed = jnp.transpose(packed, (0, 2, 1, 3))
     packed = _unband(packed.reshape(bsz, _OUT_S, n_bands * band_px),
                      bsz, n_bands, tile_h, tile_w, n_cols, height, width,
                      fields=_OUT_S)
@@ -806,8 +828,7 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
                        for c in range(3)], axis=-1)
     bary = jnp.stack([jnp.where(hit, v, 0.0)
                       for v in (w0, w1, 1.0 - w0 - w1)], axis=-1)
-    zbuf = jnp.where(hit, plane(13) + plane(14), jnp.inf)
-    return pos, color, bary, zbuf
+    return pos, color, bary
 
 
 def rasterize_select(records, verts_ndc, faces, height: int, width: int,

@@ -250,7 +250,7 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
         if inference:
             # forward-only path: shading finishes inside the kernel and
             # only 16 fields/pixel reach HBM (no gradient support)
-            tri_id, color, bary, _ = rasterize_pallas.rasterize_shaded(
+            tri_id, color, bary = rasterize_pallas.rasterize_shaded(
                 records, geom.verts_ndc, bfm.faces, height=h, width=w,
                 tile_h=cfg.tile_h, n_cols=cfg.raster_cols,
                 row_faces=bfm.raster_rows, row_id=bfm.raster_row_id)

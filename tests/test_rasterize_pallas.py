@@ -183,7 +183,7 @@ def test_shaded_matches_select_path(cfg, assets, rng):
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
     color_s, bary_s = _shade_from_sel(tid_s, sel, h, w)
 
-    tid, color, bary, zb = RP.rasterize_shaded(
+    tid, color, bary = RP.rasterize_shaded(
         records, geom.verts_ndc, bfm.faces, height=h, width=w,
         tile_h=cfg.tile_h)
     assert np.array_equal(np.asarray(tid), np.asarray(tid_s))
@@ -191,10 +191,6 @@ def test_shaded_matches_select_path(cfg, assets, rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(bary), np.asarray(bary_s),
                                atol=1e-4)
-    cov = np.asarray(tid) >= 0
-    np.testing.assert_allclose(np.asarray(zb)[cov], np.asarray(zb_s)[cov],
-                               rtol=1e-4, atol=1e-4)
-    assert np.all(np.isinf(np.asarray(zb)[~cov]))
 
 
 def test_raster_row_order_and_columns_match_identity(cfg, assets, rng):
