@@ -44,7 +44,9 @@ def render512():
     # 1-row bands at 512: the 512-lane column tile doubles the per-band
     # pixel count, so halve the band height to keep eval tiles VMEM-sized
     cfg = default_config(image_size=size, focal=1015.0 * size / 224.0,
-                         tile_h=1, batch_size=batch)
+                         tile_h=int(os.environ.get("BENCH_TILEH", "1")),
+                         batch_size=batch,
+                         raster_cols=int(os.environ.get("BENCH_COLS", "4")))
     assets = synthetic_bfm(cfg, seed=0)
     bfm = device_bfm(assets)
     assert batch % micro == 0
@@ -100,7 +102,7 @@ def main():
     # serve the inference-fused model (BN folded, s2d stem — exact)
     from facerecon_tpu.pipeline import fuse_for_inference
     pipe, variables = fuse_for_inference(pipe, variables)
-    inner = make_reconstruct_fn(pipe, inference=False)
+    inner = make_reconstruct_fn(pipe, inference=True)
 
     assert batch % micro == 0
     n_micro = batch // micro

@@ -80,8 +80,10 @@ def main():
         if stages is None:
             m = model
         else:
-            m = build_fused_model(cfg).replace(
-                stage_sizes=tuple(s for s in stages))
+            from facerecon_tpu.models.fused import FusedResNetRegressor
+            m = FusedResNetRegressor(n_coeff=cfg.n_coeff,
+                                     stage_sizes=tuple(stages),
+                                     dtype=jnp.bfloat16)
 
         def fwd(im, m=m, nb=None if stages is None else sum(stages)):
             out = m.apply(params, im, train=False) if nb is None else None

@@ -84,12 +84,12 @@ def main():
     h = w = size
 
     def f_bin(vndc, records, seed):
-        (clo, _), _, coeffs = RP._band_windows(
+        (blo, _), cmask, coeffs = RP._band_windows(
             vndc * (1.0 + seed), row_faces, row_id, h, w, tile_h,
             n_cols, False)
-        st = jnp.transpose(coeffs, (0, 2, 1))
         rt = RP._split_records(records, row_id)
-        return (jnp.sum(clo).astype(jnp.float32) + st[0, 0, 0]
+        return (jnp.sum(blo).astype(jnp.float32)
+                + jnp.sum(cmask).astype(jnp.float32) + coeffs[0, 0, 0]
                 + rt[0, 0, 0].astype(jnp.float32))
 
     def f_kernel(vndc, records, seed):
@@ -118,12 +118,21 @@ def main():
         v2, r2 = prep(cv * (1.0 + seed * 1e-30))
         return jnp.mean(v2) + jnp.mean(r2)
 
+    def f_ishade(vndc, records, seed):
+        # the shipped inference path: in-kernel shade, 16-field output
+        pos, color, bary = RP.rasterize_shaded(
+            records * (1.0 + seed * 1e-30), vndc, bfm.faces, height=h,
+            width=w, tile_h=tile_h, n_cols=n_cols, row_faces=row_faces,
+            row_id=row_id)
+        return jnp.mean(color) + jnp.mean(bary)
+
     only = os.environ.get("ONLY")
     probes = {"prep": ("prep(geom+pack)", f_prep),
               "bin": ("bin+layouts   ", f_bin),
               "pos": ("pos-only kernel", f_pos),
               "kernel": ("fused kernel  ", f_kernel),
-              "shade": ("kernel+shade  ", f_shade)}
+              "shade": ("kernel+shade  ", f_shade),
+              "ishade": ("kernel ishade ", f_ishade)}
     for key, (tag, fn) in probes.items():
         if only and key not in only.split(","):
             continue

@@ -204,22 +204,43 @@ def bin_triangles_static(verts_ndc, faces, height: int, width: int,
 
 
 class StaticSetupT(NamedTuple):
-    coeffs_t: jnp.ndarray    # (B, SETUP_WIDTH, F) f32, FIELD-MAJOR
-    band_lo: jnp.ndarray     # (B, n_bands, n_cols) int32 first chunk
-    n_chunks: jnp.ndarray    # (B, n_bands, n_cols) int32 window count
+    coeffs_t: tuple          # SETUP_WIDTH arrays of (B, F) f32 — the
+                             # field rows UNSTACKED, so the caller can pad
+                             # and stack them together with its extra rows
+                             # in ONE (B, 16, rows) materialization
+    band_lo: jnp.ndarray     # (B, n_bands) int32 band UNION first chunk
+    n_chunks: jnp.ndarray    # (B, n_bands) int32 band union chunk count
+    slab_mask: jnp.ndarray   # (B, n_bands, n_cols) int32: bit s set iff
+                             # any chunk in [band_lo + s*slab_chunks,
+                             # band_lo + (s+1)*slab_chunks) hits the
+                             # (band, col) tile. Covers the first
+                             # 32*slab_chunks chunks of the union window;
+                             # chunks beyond that are the multi-window
+                             # fallback's job (n_chunks says so).
 
 
 def bin_triangles_static_t(verts_ndc, faces, height: int, width: int,
                            tile_h: int, chunk: int,
                            cull_backfaces: bool = False,
-                           tile_w: int = 128) -> StaticSetupT:
-    """Batched FIELD-MAJOR twin of bin_triangles_static (same windows,
-    same setup values) built for the TPU memory system: the corner
-    gather stays batch-major (row gathers), every derived field is a
-    (B, F) block, and coeffs_t (B, 12, F) materializes ONCE by stacking
-    fields on axis 1 — no B-to-rows transpose anywhere (one such
-    transpose measured ~10-25 ms/128 at 224px in relayout traffic), and
-    it is already the layout the Pallas kernel DMAs.
+                           tile_w: int = 128,
+                           slab_chunks: int = 2) -> StaticSetupT:
+    """Batched FIELD-MAJOR twin of bin_triangles_static (same setup
+    values) built for the TPU memory system: the corner gather stays
+    batch-major (row gathers), every derived field is a (B, F) block,
+    and coeffs_t (B, 12, F) materializes ONCE by stacking fields on
+    axis 1 — no B-to-rows transpose anywhere (one such transpose
+    measured ~10-25 ms/128 at 224px in relayout traffic), and it is
+    already the layout the Pallas kernel DMAs.
+
+    Windows are returned as (a) the band UNION contiguous chunk span
+    (band_lo, n_chunks) — the DMA fetch — and (b) a per-(band, col)
+    int32 SLAB BITMASK over the first 32 slabs of slab_chunks chunks of
+    that span. A single contiguous per-column span cannot prune the
+    gap between y-bins (a band's candidates live in 2-3 bins, and the
+    span must bridge the x-remainder of each: measured ~1100 faces per
+    column window vs ~520 genuinely overlapping); the bitmask is exact
+    at slab granularity and cuts candidate-pixel pairs ~2.2x at 224px
+    with 7 columns and 256-lane slabs.
     """
     bsz = verts_ndc.shape[0]
     f = faces.shape[0]
@@ -269,9 +290,7 @@ def bin_triangles_static_t(verts_ndc, faces, height: int, width: int,
     xmin = jnp.where(dead, big, xmin)
     xmax = jnp.where(dead, -big, xmax)
 
-    coeffs_t = jnp.stack(
-        [wa0, wb0, wc0, wa1, wb1, wc1, za, zb, z0, x0, y0, ymin],
-        axis=1)                                   # (B, 12, F)
+    coeffs_t = (wa0, wb0, wc0, wa1, wb1, wc1, za, zb, z0, x0, y0, ymin)
 
     pad = (-f) % chunk
     pads = ((0, 0), (0, pad))
@@ -298,10 +317,33 @@ def bin_triangles_static_t(verts_ndc, faces, height: int, width: int,
     first = jnp.argmax(hit, axis=3).astype(jnp.int32)
     last = (nct - 1
             - jnp.argmax(hit[:, :, :, ::-1], axis=3)).astype(jnp.int32)
-    band_lo = jnp.where(any_hit, first, 0)
-    n_chunks = jnp.where(any_hit, last - first + 1, 0).astype(jnp.int32)
-    return StaticSetupT(coeffs_t=coeffs_t, band_lo=band_lo,
-                        n_chunks=n_chunks)
+    # band UNION span over columns (one contiguous DMA per band)
+    ulo = jnp.min(jnp.where(any_hit, first, jnp.int32(2 ** 30)), axis=2)
+    uhi = jnp.max(jnp.where(any_hit, last + 1, 0), axis=2)
+    any_b = jnp.any(any_hit, axis=2)
+    ulo = jnp.where(any_b, ulo, 0)                # (B, bands)
+    un = jnp.where(any_b, uhi - ulo, 0).astype(jnp.int32)
+
+    # per-(band, col) slab bitmask over the union window, derived from the
+    # column's CONTIGUOUS [first, last] span by pure bit-range arithmetic:
+    # bits [floor(rel_lo/slab), ceil(rel_hi/slab)). An EXACT mask (any-hit
+    # per slab via take_along_axis over `hit`) prunes the dead slabs
+    # between y-bins too, but its gather measured ~8 ms/128 at 224px — far
+    # more than the pruned slabs return at the viable slab granularity
+    # (512 lanes; finer slabs lose to per-slab reduction/carry costs).
+    n_slabs = 32
+    rel_lo = jnp.maximum(first - ulo[:, :, None], 0)
+    rel_hi = jnp.minimum(last + 1 - ulo[:, :, None], n_slabs * slab_chunks)
+    s_lo = rel_lo // slab_chunks
+    s_hi = (rel_hi + slab_chunks - 1) // slab_chunks
+    ones = lambda n: jnp.where(
+        n >= n_slabs, jnp.int32(-1),
+        jnp.left_shift(jnp.int32(1), n) - jnp.int32(1))
+    slab_mask = jnp.where(
+        any_hit & (rel_hi > rel_lo),
+        ones(s_hi) & ~ones(s_lo), 0).astype(jnp.int32)  # (B, bands, cols)
+    return StaticSetupT(coeffs_t=coeffs_t, band_lo=ulo, n_chunks=un,
+                        slab_mask=slab_mask)
 
 
 def bin_triangles(verts_ndc, faces, height: int, width: int,

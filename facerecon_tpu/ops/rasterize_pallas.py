@@ -61,16 +61,25 @@ from facerecon_tpu.ops.binning import bin_triangles_static_t
 
 _CHUNK = 128            # triangles per chunk (window-granularity unit)
 _WINDOW = 64            # chunks per DMA window (524 KB setup scratch);
-                        # covers the p99 band span of a ±5deg-roll scene at
-                        # 224px, so the slow multi-window fallback is rare —
-                        # supers/segments beyond a band's span are
-                        # pl.when-predicated away, so window capacity is
-                        # nearly free
+                        # covers the p99 band span of TRAINING poses at
+                        # 224px (41% of bands exceed 32 chunks at pose
+                        # scale 0.3), so the slow multi-window fallback is
+                        # rare — segments beyond a band's span are
+                        # pl.when-predicated away. 32 measured 5% faster
+                        # on the frontal-pose bench but fires the fallback
+                        # on 41% of training bands
 _SEG = 16               # chunks per window-0 DMA segment (2 supers each)
-_ESLAB = 4              # chunks per phase-1 eval slab (512 lanes): fine
-                        # enough that a tight column window skips most of
-                        # the band; reductions shrink with the slab
-_BGRP = 8               # chunks per select slab / backward group (1024 lanes)
+_ESLAB = 4              # chunks per phase-1 eval slab (512 lanes) — the
+                        # slab-bitmask granularity: one int32 mask bit per
+                        # slab. 256-lane slabs prune ~1.5x more pairs but
+                        # measured SLOWER (141 vs 129 ms/128 at 224px):
+                        # the per-slab fixed costs — two cross-lane
+                        # reductions plus the (col_px, 1) single-lane
+                        # carry updates — double when slabs halve and eat
+                        # the saving
+_SGRP = 4               # chunks per phase-2 select slab (512 lanes);
+                        # live iff either covered eval-slab mask bit set
+_BGRP = 8               # chunks per backward group (1024 lanes)
 _GLANES = _BGRP * _CHUNK  # super / backward group lane width
 _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
 _FIELDS = 24            # caller-facing render-attribute record width
@@ -91,8 +100,9 @@ def padded_rows(n_faces: int) -> int:
     return chunks * _CHUNK
 
 
-def _kernel(clo_ref, cn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
-            n_cols: int, band_px: int, mode: str):
+def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
+            tile_w: int, n_cols: int, band_px: int, mode: str,
+            bpp: int = 1):
     """Per (image, band) program. mode: "pos" (phase 1 only), "select"
     (phase 2 emits the winner's 48-field pre-split record — the
     differentiable training path), or "shade" (phase 2 + in-kernel
@@ -137,290 +147,295 @@ def _kernel(clo_ref, cn_ref, setup_hbm, *rest, tile_h: int, tile_w: int,
     else:
         pos_ref, z_ref, scr_s, scr_zb, scr_pb, sem = rest
     b = pl.program_id(0)
-    t = pl.program_id(1)
     col_w = tile_w // n_cols
     col_px = tile_h * col_w
 
-    # per-column windows (global chunk indices) and their band union
-    clo = [clo_ref[b, t * n_cols + c] for c in range(n_cols)]
-    cn = [cn_ref[b, t * n_cols + c] for c in range(n_cols)]
-    blo = clo[0] if n_cols == 1 else functools.reduce(
-        jnp.minimum, [jnp.where(n > 0, l, 2 ** 30)
-                      for l, n in zip(clo, cn)])
-    bhi = functools.reduce(
-        jnp.maximum, [jnp.where(n > 0, l + n, 0)
-                      for l, n in zip(clo, cn)])
-    blo = jnp.minimum(blo, bhi)      # all-empty: blo=bhi=0 -> bn=0
-    bn = bhi - blo
 
-    def dma_t(hbm, scr, wbase, lo, size, s):
-        # both setup and records are LANE-TRANSPOSED in HBM — (B, fields,
-        # rows) — so a window segment lands as (fields, size*128) with its
-        # chunks side-by-side on lanes: slabs read static lane slices
-        return pltpu.make_async_copy(
-            hbm.at[b, :, pl.ds((blo + wbase + lo) * _CHUNK, size * _CHUNK)],
-            scr.at[:, pl.ds(lo * _CHUNK, size * _CHUNK)], sem.at[s])
+    def _band(tb):
+        t = pl.program_id(1) * bpp + tb
+        # band union window (the DMA span) + per-column slab bitmasks
+        blo = blo_ref[b, t]
+        bn = bn_ref[b, t]
+        cmask = [cmask_ref[b, t * n_cols + c] for c in range(n_cols)]
 
-    n_seg = _WINDOW // _SEG
-    segs = []
-    if "dma" not in abl:
-        for k in range(n_seg):
-            d = dma_t(setup_hbm, scr_s, 0, k * _SEG, _SEG, k)
+        def dma_t(hbm, scr, wbase, lo, size, s):
+            # both setup and records are LANE-TRANSPOSED in HBM — (B, fields,
+            # rows) — so a window segment lands as (fields, size*128) with its
+            # chunks side-by-side on lanes: slabs read static lane slices
+            return pltpu.make_async_copy(
+                hbm.at[b, :, pl.ds((blo + wbase + lo) * _CHUNK, size * _CHUNK)],
+                scr.at[:, pl.ds(lo * _CHUNK, size * _CHUNK)], sem.at[s])
+
+        n_seg = _WINDOW // _SEG
+        segs = []
+        if "dma" not in abl:
+            for k in range(n_seg):
+                d = dma_t(setup_hbm, scr_s, 0, k * _SEG, _SEG, k)
+                if k == 0:
+                    d.start()
+                else:
+                    pl.when(bn > k * _SEG)(lambda d=d: d.start())
+                segs.append(d)
+        if with_select and "dma" not in abl:
+            rsegs = []
+            for k in range(n_seg):
+                d = dma_t(rec_hbm, scr_r, 0, k * _SEG, _SEG, n_seg + k)
+                if k == 0:
+                    d.start()
+                else:
+                    pl.when(bn > k * _SEG)(lambda d=d: d.start())
+                rsegs.append(d)
+
+        # pixel coordinates, COLUMN-BLOCKED y-major within the band
+        # (pix = col*col_px + y*col_w + x): column tiles are contiguous
+        # sublane ranges AND the unband relayout keeps col_w as the minor dim
+        # (a pure reshape at n_cols=1). (band_px, 1) pixel columns broadcast
+        # against (1, lanes) coefficient rows.
+        pix_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, 1), 0)
+        in_col = pix_i % col_px
+        px = ((pix_i // col_px) * col_w + in_col % col_w).astype(
+            jnp.float32) + 0.5
+        py = ((in_col // col_w).astype(jnp.float32)
+              + jnp.float32(t * tile_h) + 0.5)
+        es_lanes = _ESLAB * _CHUNK
+        cpix_i = jax.lax.broadcasted_iota(jnp.int32, (col_px, 1), 0)
+        cpy = ((cpix_i // col_w).astype(jnp.float32)
+               + jnp.float32(t * tile_h) + 0.5)
+
+        scr_zb[...] = jnp.full((band_px, 1), jnp.inf, jnp.float32)
+        scr_pb[...] = jnp.full((band_px, 1), -1.0, jnp.float32)
+
+        # wait the segments (all up front; conditionals mirror the starts)
+        for k in range(n_seg) if "dma" not in abl else []:
             if k == 0:
-                d.start()
+                segs[k].wait()
             else:
-                pl.when(bn > k * _SEG)(lambda d=d: d.start())
-            segs.append(d)
-    if with_select and "dma" not in abl:
-        rsegs = []
-        for k in range(n_seg):
-            d = dma_t(rec_hbm, scr_r, 0, k * _SEG, _SEG, n_seg + k)
-            if k == 0:
-                d.start()
-            else:
-                pl.when(bn > k * _SEG)(lambda d=d: d.start())
-            rsegs.append(d)
+                pl.when(bn > k * _SEG)(lambda d=segs[k]: d.wait())
 
-    # pixel coordinates, COLUMN-BLOCKED y-major within the band
-    # (pix = col*col_px + y*col_w + x): column tiles are contiguous
-    # sublane ranges AND the unband relayout keeps col_w as the minor dim
-    # (a pure reshape at n_cols=1). (band_px, 1) pixel columns broadcast
-    # against (1, lanes) coefficient rows.
-    pix_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, 1), 0)
-    in_col = pix_i % col_px
-    px = ((pix_i // col_px) * col_w + in_col % col_w).astype(
-        jnp.float32) + 0.5
-    py = ((in_col // col_w).astype(jnp.float32)
-          + jnp.float32(t * tile_h) + 0.5)
-    sup_lanes = _BGRP * _CHUNK
-    es_lanes = _ESLAB * _CHUNK
-    cpix_i = jax.lax.broadcasted_iota(jnp.int32, (col_px, 1), 0)
-    cpy = ((cpix_i // col_w).astype(jnp.float32)
-           + jnp.float32(t * tile_h) + 0.5)
+        # ---- phase 1: per-column slab evals predicated on the SLAB BITMASK
+        # (one int32 bit per 2-chunk slab of the union window, exact at slab
+        # granularity — a contiguous per-column span cannot skip the gap
+        # between y-bins and measured ~2.2x more candidate-pixel pairs).
+        # Immediate per-slab reduction into the column's (col_px, 1) best: a
+        # deferred per-lane carry in VMEM scratch was measured 4x SLOWER
+        # (VMEM carry round-trips dwarfed the reductions it saved).
+        for c in range(n_cols) if "eval" not in abl else []:
+            cpx = (cpix_i % col_w).astype(jnp.float32) + (c * col_w + 0.5)
+            sl = slice(c * col_px, (c + 1) * col_px)
 
-    scr_zb[...] = jnp.full((band_px, 1), jnp.inf, jnp.float32)
-    scr_pb[...] = jnp.full((band_px, 1), -1.0, jnp.float32)
+            for s in range(_WINDOW // _ESLAB):
+                def slab(s=s):
+                    cf = lambda f: scr_s[f:f + 1,
+                                         s * es_lanes:(s + 1) * es_lanes]
+                    qx = cpx - cf(9)
+                    qy = cpy - cf(10)
+                    e0 = cf(0) * qx + cf(1) * qy + cf(2)
+                    e1 = cf(3) * qx + cf(4) * qy + cf(5)
+                    ez = cf(6) * qx + cf(7) * qy + cf(8)
+                    cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
+                    zm = jnp.where(cov, ez, jnp.inf)
+                    zmin = jnp.min(zm, axis=1, keepdims=True)   # (col_px, 1)
+                    idw = jnp.min(jnp.where(zm == zmin, cf(12), 3e38),
+                                  axis=1, keepdims=True)
+                    zb = scr_zb[sl]
+                    pb = scr_pb[sl]
+                    better = (zmin < zb) | ((zmin == zb) & (idw < pb)
+                                            & (zmin < 3e37))
+                    scr_zb[sl] = jnp.where(better, zmin, zb)
+                    scr_pb[sl] = jnp.where(better, idw, pb)
 
-    # wait the segments (all up front; conditionals mirror the starts)
-    for k in range(n_seg) if "dma" not in abl else []:
-        if k == 0:
-            segs[k].wait()
-        else:
-            pl.when(bn > k * _SEG)(lambda d=segs[k]: d.wait())
+                pl.when(((cmask[c] >> s) & 1) != 0)(slab)
 
-    # ---- phase 1: per-column predicated slab evals. Immediate per-slab
-    # reduction into the column's (col_px, 1) best: a deferred per-lane
-    # carry in VMEM scratch was measured 4x SLOWER (each slab re-read and
-    # re-wrote (col_px, 512) x2 f32 carries — 1.8 MB of VMEM round-trips
-    # per slab dwarfing the reductions it saved). Reductions here run
-    # over (col_px, 512), 8x smaller than round 2's (band_px, 1024).
-    for c in range(n_cols) if "eval" not in abl else []:
-        rlo = clo[c] - blo
-        rhi = rlo + cn[c]
-        cpx = (cpix_i % col_w).astype(jnp.float32) + (c * col_w + 0.5)
-        sl = slice(c * col_px, (c + 1) * col_px)
+        # fallback beyond the window (spatially incoherent face order):
+        # sequential window DMA + per-chunk narrow band-wide evals, scalar
+        # loop state only. Correctness over speed.
+        needs = bn > _WINDOW if not abl & {"eval", "dma"} else (bn < -1)
 
-        for s in range(_WINDOW // _ESLAB):
-            def slab(s=s):
+        @pl.when(needs)
+        def _():
+            def chunk_at(rel, _):
                 cf = lambda f: scr_s[f:f + 1,
-                                     s * es_lanes:(s + 1) * es_lanes]
-                qx = cpx - cf(9)
-                qy = cpy - cf(10)
+                                     pl.ds(pl.multiple_of(rel * _CHUNK,
+                                                          _CHUNK), _CHUNK)]
+                qx = px - cf(9)
+                qy = py - cf(10)
                 e0 = cf(0) * qx + cf(1) * qy + cf(2)
                 e1 = cf(3) * qx + cf(4) * qy + cf(5)
                 ez = cf(6) * qx + cf(7) * qy + cf(8)
                 cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
                 zm = jnp.where(cov, ez, jnp.inf)
-                zmin = jnp.min(zm, axis=1, keepdims=True)   # (col_px, 1)
+                zmin = jnp.min(zm, axis=1, keepdims=True)    # (band_px, 1)
                 idw = jnp.min(jnp.where(zm == zmin, cf(12), 3e38),
                               axis=1, keepdims=True)
-                zb = scr_zb[sl]
-                pb = scr_pb[sl]
+                zb = scr_zb[...]
+                pb = scr_pb[...]
                 better = (zmin < zb) | ((zmin == zb) & (idw < pb)
                                         & (zmin < 3e37))
-                scr_zb[sl] = jnp.where(better, zmin, zb)
-                scr_pb[sl] = jnp.where(better, idw, pb)
+                scr_zb[...] = jnp.where(better, zmin, zb)
+                scr_pb[...] = jnp.where(better, idw, pb)
+                return 0
 
-            pl.when((rhi > s * _ESLAB) & (rlo < (s + 1) * _ESLAB))(slab)
+            n_win = (bn + _WINDOW - 1) // _WINDOW
 
-    # fallback beyond the window (spatially incoherent face order):
-    # sequential window DMA + per-chunk narrow band-wide evals, scalar
-    # loop state only. Correctness over speed.
-    needs = bn > _WINDOW if not abl & {"eval", "dma"} else (bn < -1)
+            def win_body(w, _):
+                wbase = w * _WINDOW
+                d = dma_t(setup_hbm, scr_s, wbase, 0, _WINDOW, 0)
+                d.start()
+                d.wait()
+                nw = jnp.minimum(bn - wbase, _WINDOW)
+                jax.lax.fori_loop(0, nw, chunk_at, 0)
+                return 0
 
-    @pl.when(needs)
-    def _():
-        def chunk_at(rel, _):
-            cf = lambda f: scr_s[f:f + 1,
-                                 pl.ds(pl.multiple_of(rel * _CHUNK,
-                                                      _CHUNK), _CHUNK)]
-            qx = px - cf(9)
-            qy = py - cf(10)
-            e0 = cf(0) * qx + cf(1) * qy + cf(2)
-            e1 = cf(3) * qx + cf(4) * qy + cf(5)
-            ez = cf(6) * qx + cf(7) * qy + cf(8)
-            cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
-            zm = jnp.where(cov, ez, jnp.inf)
-            zmin = jnp.min(zm, axis=1, keepdims=True)    # (band_px, 1)
-            idw = jnp.min(jnp.where(zm == zmin, cf(12), 3e38),
-                          axis=1, keepdims=True)
-            zb = scr_zb[...]
-            pb = scr_pb[...]
-            better = (zmin < zb) | ((zmin == zb) & (idw < pb)
-                                    & (zmin < 3e37))
-            scr_zb[...] = jnp.where(better, zmin, zb)
-            scr_pb[...] = jnp.where(better, idw, pb)
-            return 0
+            jax.lax.fori_loop(1, n_win, win_body, 0)
 
-        n_win = (bn + _WINDOW - 1) // _WINDOW
+        zbuf = scr_zb[...]
+        posbest = scr_pb[...]                    # -1.0 where never covered
 
-        def win_body(w, _):
-            wbase = w * _WINDOW
-            d = dma_t(setup_hbm, scr_s, wbase, 0, _WINDOW, 0)
-            d.start()
-            d.wait()
-            nw = jnp.minimum(bn - wbase, _WINDOW)
-            jax.lax.fori_loop(0, nw, chunk_at, 0)
-            return 0
+        if not with_select:
+            pos_ref[0, tb] = posbest.astype(jnp.int32)
+            z_ref[0, tb] = zbuf
+            return
 
-        jax.lax.fori_loop(1, n_win, win_body, 0)
+        # ---- phase 2: one-hot MXU select of the winner's render record ----
+        # per live slab: onehot (band_px, 1024) @ record slab (48, 1024)^T.
+        # Records are PRE-SPLIT into exactly-bf16 parts so a SINGLE bf16 pass
+        # reads every field exactly. The one-hot keys on the record's id+1
+        # byte fields (42:45) vs the winner id: position-independent, so any
+        # row order/window works; background (0) matches only all-zero pad
+        # records, whose contribution is zero.
+        for k in range(n_seg) if "dma" not in abl else []:
+            if k == 0:
+                rsegs[k].wait()
+            else:
+                pl.when(bn > k * _SEG)(lambda d=rsegs[k]: d.wait())
 
-    zbuf = scr_zb[...]
-    posbest = scr_pb[...]                    # -1.0 where never covered
-
-    if not with_select:
-        pos_ref[0, 0] = posbest.astype(jnp.int32)
-        z_ref[0, 0] = zbuf
-        return
-
-    # ---- phase 2: one-hot MXU select of the winner's render record ----
-    # per live slab: onehot (band_px, 1024) @ record slab (48, 1024)^T.
-    # Records are PRE-SPLIT into exactly-bf16 parts so a SINGLE bf16 pass
-    # reads every field exactly. The one-hot keys on the record's id+1
-    # byte fields (42:45) vs the winner id: position-independent, so any
-    # row order/window works; background (0) matches only all-zero pad
-    # records, whose contribution is zero.
-    for k in range(n_seg) if "dma" not in abl else []:
-        if k == 0:
-            rsegs[k].wait()
-        else:
-            pl.when(bn > k * _SEG)(lambda d=rsegs[k]: d.wait())
-
-    # select-mode acc is pixel-major (band_px, 48) — the output row layout;
-    # shade-mode acc is TRANSPOSED (48, band_px) so the shade math runs on
-    # full-lane-width rows (column-form (band_px, 1) shade ops used 1 of
-    # 128 lanes and measured slower than the select path it replaced)
-    if mode == "shade":
-        scr_acc[...] = jnp.zeros((_RFIELDS, band_px), jnp.float32)
-    else:
-        scr_acc[...] = jnp.zeros((band_px, _RFIELDS), jnp.float32)
-    posu_f = posbest + 1.0                   # 0 = background, f32-exact
-
-    def sel_block(rec):
-        idl = (rec[42:43].astype(jnp.float32)
-               + rec[43:44].astype(jnp.float32) * 256.0
-               + rec[44:45].astype(jnp.float32) * 65536.0)
-        onehot = (posu_f == idl).astype(jnp.bfloat16)
+        # select-mode acc is pixel-major (band_px, 48) — the output row layout;
+        # shade-mode acc is TRANSPOSED (48, band_px) so the shade math runs on
+        # full-lane-width rows (column-form (band_px, 1) shade ops used 1 of
+        # 128 lanes and measured slower than the select path it replaced)
         if mode == "shade":
-            scr_acc[...] = scr_acc[...] + jax.lax.dot_general(
-                rec, onehot, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            scr_acc[...] = jnp.zeros((_RFIELDS, band_px), jnp.float32)
         else:
-            scr_acc[...] = scr_acc[...] + jax.lax.dot_general(
-                onehot, rec, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            scr_acc[...] = jnp.zeros((band_px, _RFIELDS), jnp.float32)
+        posu_f = posbest + 1.0                   # 0 = background, f32-exact
 
-    for s in range(_WINDOW // _BGRP) if "sel" not in abl else []:
-        def ssel(s=s):
-            sel_block(scr_r[:, s * sup_lanes:(s + 1) * sup_lanes])
+        def sel_block(rec, pos_col=None, sl=slice(None)):
+            idl = (rec[42:43].astype(jnp.float32)
+                   + rec[43:44].astype(jnp.float32) * 256.0
+                   + rec[44:45].astype(jnp.float32) * 65536.0)
+            onehot = ((posu_f if pos_col is None else pos_col)
+                      == idl).astype(jnp.bfloat16)
+            if mode == "shade":
+                scr_acc[:, sl] = scr_acc[:, sl] + jax.lax.dot_general(
+                    rec, onehot, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                scr_acc[sl] = scr_acc[sl] + jax.lax.dot_general(
+                    onehot, rec, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
-        if s == 0:
-            ssel()
-        else:
-            pl.when(bn > s * _BGRP)(ssel)
+        # band-union select slabs (1024 lanes), predicated on the OR of the
+        # column masks: a dead mid-window slab is skipped (the old `bn >`
+        # test could not). Per-COLUMN select slabs were tried and measured
+        # SLOWER (137.8 vs 129 ms/128 at 224px): 8x more, 8x smaller
+        # (col_px, 512) dots lose more to per-dot fixed costs (idl/onehot
+        # setup, sub-128 M tiles, acc round-trips) than the pruned pairs buy
+        umask = functools.reduce(lambda a, b: a | b, cmask)
+        sup_lanes = _BGRP * _CHUNK
+        ratio = _BGRP // _ESLAB
+        rmask = (1 << ratio) - 1
+        for s in range(_WINDOW // _BGRP) if "sel" not in abl else []:
+            def ssel(s=s):
+                sel_block(scr_r[:, s * sup_lanes:(s + 1) * sup_lanes])
 
-    @pl.when(needs if "sel" not in abl else (bn < -1))
-    def _():
-        def sel_chunk(rel, _):
-            sel_block(scr_r[:, pl.ds(pl.multiple_of(rel * _CHUNK, _CHUNK),
-                                     _CHUNK)])
-            return 0
+            pl.when(((umask >> (ratio * s)) & rmask) != 0)(ssel)
 
-        n_win = (bn + _WINDOW - 1) // _WINDOW
+        @pl.when(needs if "sel" not in abl else (bn < -1))
+        def _():
+            def sel_chunk(rel, _):
+                sel_block(scr_r[:, pl.ds(pl.multiple_of(rel * _CHUNK, _CHUNK),
+                                         _CHUNK)])
+                return 0
 
-        def sel_win_body(w, _):
-            wbase = w * _WINDOW
-            d = dma_t(rec_hbm, scr_r, wbase, 0, _WINDOW, 0)
-            d.start()
-            d.wait()
-            nw = jnp.minimum(bn - wbase, _WINDOW)
-            jax.lax.fori_loop(0, nw, sel_chunk, 0)
-            return 0
+            n_win = (bn + _WINDOW - 1) // _WINDOW
 
-        jax.lax.fori_loop(1, n_win, sel_win_body, 0)
+            def sel_win_body(w, _):
+                wbase = w * _WINDOW
+                d = dma_t(rec_hbm, scr_r, wbase, 0, _WINDOW, 0)
+                d.start()
+                d.wait()
+                nw = jnp.minimum(bn - wbase, _WINDOW)
+                jax.lax.fori_loop(0, nw, sel_chunk, 0)
+                return 0
 
-    if "pack" in abl:
-        return
+            jax.lax.fori_loop(1, n_win, sel_win_body, 0)
 
-    if mode == "shade":
-        # finish shading IN-KERNEL from the selected record in ROW form —
-        # every value below is a (1, band_px) full-lane-width row (same
-        # float ops, same order as ops/render._shade_from_sel reading the
-        # packed fields; each pre-split part is exactly bf16, so the f32
-        # row sums equal the field-reconstruction sums exactly). The
-        # 48-wide record never leaves VMEM; the output carries only
-        # [rgb hi/lo 6 | w0/w1 hi/lo 4 | pos 3 | pad] — the winner's id
-        # bytes arrive in row form through the select itself (record
-        # fields 42:45), and z is not emitted (no inference consumer).
-        acc = scr_acc[...]
+        if "pack" in abl:
+            return
 
-        def row(k):
-            return acc[k:k + 1, :]
+        if mode == "shade":
+            # finish shading IN-KERNEL from the selected record in ROW form —
+            # every value below is a (1, band_px) full-lane-width row (same
+            # float ops, same order as ops/render._shade_from_sel reading the
+            # packed fields; each pre-split part is exactly bf16, so the f32
+            # row sums equal the field-reconstruction sums exactly). The
+            # 48-wide record never leaves VMEM; the output carries only
+            # [rgb hi/lo 6 | w0/w1 hi/lo 4 | pos 3 | pad] — the winner's id
+            # bytes arrive in row form through the select itself (record
+            # fields 42:45), and z is not emitted (no inference consumer).
+            acc = scr_acc[...]
 
-        def w(k):
-            return row(18 + k) + row(24 + k) + row(30 + k)
+            def row(k):
+                return acc[k:k + 1, :]
 
-        pixr = jax.lax.broadcasted_iota(jnp.int32, (1, band_px), 1)
-        in_colr = pixr % col_px
-        pxr = ((pixr // col_px) * col_w + in_colr % col_w).astype(
-            jnp.float32) + 0.5
-        pyr = ((in_colr // col_w).astype(jnp.float32)
-               + jnp.float32(t * tile_h) + 0.5)
-        x0 = row(36) + row(37) + row(38)
-        y0 = row(39) + row(40) + row(41)
-        qx = pxr - x0
-        qy = pyr - y0
-        w0 = w(0) * qx + w(1) * qy + w(2)
-        w1 = w(3) * qx + w(4) * qy + w(5)
-        w2 = 1.0 - w0 - w1
-        parts = []
-        for c in range(3):
-            cc = (w0 * (row(c) + row(c + 9)) + w1 * (row(c + 3)
-                  + row(c + 12)) + w2 * (row(c + 6) + row(c + 15)))
-            parts.extend(_split2(cc))
-        for v in (w0, w1):
-            parts.extend(_split2(v))
-        idb = [acc[k:k + 1, :].astype(jnp.bfloat16) for k in (42, 43, 44)]
-        packed_ref[0, 0] = jnp.concatenate(
-            [*parts, *idb,
-             jnp.zeros((_OUT_S - 13, band_px), jnp.bfloat16)], axis=0)
-        return
+            def w(k):
+                return row(18 + k) + row(24 + k) + row(30 + k)
 
-    # ONE packed bf16 output row per pixel: separate narrow outputs pad
-    # their minor dim to 128 lanes in the tiled HBM layout (a (.., 1) f32
-    # plane costs 128x its size). All sel values are exact bf16 by
-    # construction; pos packs into 3 byte-valued fields, z into a bf16
-    # hi/lo pair.
-    posu = posbest.astype(jnp.int32) + 1     # 0 = background, face id + 1
-    p0 = (posu & 255).astype(jnp.bfloat16)
-    p1 = ((posu >> 8) & 255).astype(jnp.bfloat16)
-    p2 = (posu >> 16).astype(jnp.bfloat16)
-    zsafe = jnp.where(posu > 0, zbuf, 0.0)
-    zhi, zlo = _split2(zsafe)
-    packed_ref[0, 0] = jnp.concatenate(
-        [scr_acc[...].astype(jnp.bfloat16), p0, p1, p2, zhi, zlo,
-         jnp.zeros((band_px, _OUT_F - _RFIELDS - 5), jnp.bfloat16)],
-        axis=1)
+            pixr = jax.lax.broadcasted_iota(jnp.int32, (1, band_px), 1)
+            in_colr = pixr % col_px
+            pxr = ((pixr // col_px) * col_w + in_colr % col_w).astype(
+                jnp.float32) + 0.5
+            pyr = ((in_colr // col_w).astype(jnp.float32)
+                   + jnp.float32(t * tile_h) + 0.5)
+            x0 = row(36) + row(37) + row(38)
+            y0 = row(39) + row(40) + row(41)
+            qx = pxr - x0
+            qy = pyr - y0
+            w0 = w(0) * qx + w(1) * qy + w(2)
+            w1 = w(3) * qx + w(4) * qy + w(5)
+            w2 = 1.0 - w0 - w1
+            parts = []
+            for c in range(3):
+                cc = (w0 * (row(c) + row(c + 9)) + w1 * (row(c + 3)
+                      + row(c + 12)) + w2 * (row(c + 6) + row(c + 15)))
+                parts.extend(_split2(cc))
+            for v in (w0, w1):
+                parts.extend(_split2(v))
+            idb = [acc[k:k + 1, :].astype(jnp.bfloat16) for k in (42, 43, 44)]
+            packed_ref[0, tb] = jnp.concatenate(
+                [*parts, *idb,
+                 jnp.zeros((_OUT_S - 13, band_px), jnp.bfloat16)], axis=0)
+            return
+
+        # ONE packed bf16 output row per pixel: separate narrow outputs pad
+        # their minor dim to 128 lanes in the tiled HBM layout (a (.., 1) f32
+        # plane costs 128x its size). All sel values are exact bf16 by
+        # construction; pos packs into 3 byte-valued fields, z into a bf16
+        # hi/lo pair.
+        posu = posbest.astype(jnp.int32) + 1     # 0 = background, face id + 1
+        p0 = (posu & 255).astype(jnp.bfloat16)
+        p1 = ((posu >> 8) & 255).astype(jnp.bfloat16)
+        p2 = (posu >> 16).astype(jnp.bfloat16)
+        zsafe = jnp.where(posu > 0, zbuf, 0.0)
+        zhi, zlo = _split2(zsafe)
+        packed_ref[0, tb] = jnp.concatenate(
+            [scr_acc[...].astype(jnp.bfloat16), p0, p1, p2, zhi, zlo,
+             jnp.zeros((band_px, _OUT_F - _RFIELDS - 5), jnp.bfloat16)],
+            axis=1)
+
+
+    for tb in range(bpp):
+        _band(tb)
 
 
 def is_available() -> bool:
@@ -520,9 +535,10 @@ def _band_windows(verts_ndc, row_faces, row_id, height, width, tile_h,
     """Sort-free static binning over the RASTER ROW ORDER (a static
     (y-bin, x)-sorted, chunk-aligned-per-bin face permutation built from
     the mean shape — utils/bfm.raster_row_order; identity for plain
-    `faces`). Returns per-(band, column) contiguous chunk windows
-    (clo, cn) (B, n_bands * n_cols) flattened for scalar prefetch, the
-    per-band union windows (blo, bn) (B, n_bands) (DMA + backward), and
+    `faces`). Returns the per-band UNION windows (blo, bn) (B, n_bands)
+    (the DMA span, also the backward's), the per-(band, column) slab
+    BITMASKS (B, n_bands * n_cols) int32 flattened for scalar prefetch
+    (bit s = any hit in the union window's s-th _ESLAB-chunk slab), and
     the padded flat setup array whose field 12 carries the ORIGINAL face
     id (f32-exact): the kernel's z-test ties and the select one-hot key
     on the id value, so any row order — however padded or shuffled —
@@ -531,31 +547,27 @@ def _band_windows(verts_ndc, row_faces, row_id, height, width, tile_h,
     tile_w = col_width(width, n_cols)
     setup = bin_triangles_static_t(verts_ndc, row_faces, height, width,
                                    tile_h, _CHUNK, cull_backfaces,
-                                   tile_w=tile_w)
-    f = setup.coeffs_t.shape[2]
-    clo = setup.band_lo.astype(jnp.int32)        # (B, n_bands, n_cols)
-    cn = setup.n_chunks.astype(jnp.int32)
-    chi = jnp.where(cn > 0, clo + cn, 0)
-    blo = jnp.min(jnp.where(cn > 0, clo, jnp.int32(2 ** 30)), axis=2)
-    bhi = jnp.max(chi, axis=2)
-    any_c = jnp.any(cn > 0, axis=2)
-    blo = jnp.where(any_c, blo, 0)               # (B, n_bands)
-    bn = jnp.where(any_c, bhi - blo, 0)
+                                   tile_w=tile_w, slab_chunks=_ESLAB)
+    f = setup.coeffs_t[0].shape[1]
+    blo = setup.band_lo.astype(jnp.int32)        # (B, n_bands)
+    bn = setup.n_chunks.astype(jnp.int32)
+    cmask = setup.slab_mask.astype(jnp.int32)    # (B, n_bands, n_cols)
 
     rows = padded_rows(f)
-    # field-major assembly: [setup 12 | id 1 | pad 3] rows, then dead row
-    # padding along the minor axis (wc0/wc1 = -inf so pads never cover)
-    idrow = jnp.broadcast_to(
-        row_id.astype(jnp.float32)[None, None, :], (bsz, 1, f))
-    zero = jnp.zeros((bsz, 3, f), jnp.float32)
-    coeffs = jnp.concatenate([setup.coeffs_t, idrow, zero], axis=1)
-    if rows - f:
-        deadcol = jnp.zeros((_ROW_PAD, 1), jnp.float32)
-        deadcol = deadcol.at[2, 0].set(-3e38).at[5, 0].set(-3e38)
-        coeffs = jnp.concatenate(
-            [coeffs, jnp.broadcast_to(deadcol[None],
-                                      (bsz, _ROW_PAD, rows - f))], axis=2)
-    return (clo.reshape(bsz, -1), cn.reshape(bsz, -1)), (blo, bn), coeffs
+    # field-major assembly [setup 12 | id 1 | pad 3] in ONE stack: each
+    # field row is minor-axis padded first (dead rows: wc0/wc1 = -inf so
+    # pads never cover), then all 16 rows materialize together — piecewise
+    # axis-1 concats at sublane offsets paid read-modify-write tile
+    # amplification
+    idf = jnp.broadcast_to(row_id.astype(jnp.float32)[None, :], (bsz, f))
+    zerof = jnp.zeros((bsz, f), jnp.float32)
+    flds = list(setup.coeffs_t) + [idf] + [zerof] * (_ROW_PAD - 13)
+    pad = rows - f
+    coeffs = jnp.stack(
+        [jnp.pad(a, ((0, 0), (0, pad)),
+                 constant_values=-3e38 if k in (2, 5) else 0.0)
+         for k, a in enumerate(flds)], axis=1)   # (B, 16, rows)
+    return (blo, bn), cmask.reshape(bsz, -1), coeffs
 
 
 def _unband(arr, bsz, n_bands, tile_h, tile_w, n_cols, height, width,
@@ -604,20 +616,26 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
+    bpp = 1   # bands per program. 2 was measured 2x SLOWER (233 vs
+    # 110 ms/128 at 224px): the second band's window DMA only
+    # starts after the first band's compute, exposing its full
+    # latency, and the doubled output block defeats the revolving
+    # write pipeline
     band_px = tile_h * tile_w
     col_px = band_px // n_cols
 
-    (clo, cn), (blo, bn), coeffs = _band_windows(
+    (blo, bn), cmask, coeffs = _band_windows(
         verts_ndc, row_faces, row_id, height, width, tile_h, n_cols,
         cull_backfaces)
     setup_t = coeffs                             # (B, 16 fields, rows)
 
     pos, zbuf = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
-                          n_cols=n_cols, band_px=band_px, mode="pos"),
+                          n_cols=n_cols, band_px=band_px, mode="pos",
+                          bpp=bpp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,      # clo, cn
-            grid=(bsz, n_bands),
+            num_scalar_prefetch=3,      # blo, bn, cmask
+            grid=(bsz, n_bands // bpp),
             in_specs=[
                 # full array stays in HBM; the kernel DMAs per-band slices
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -629,10 +647,10 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
                 pltpu.SemaphoreType.DMA((_WINDOW // _SEG,)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, band_px, 1),
+                pl.BlockSpec((1, bpp, band_px, 1),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, band_px, 1),
+                pl.BlockSpec((1, bpp, band_px, 1),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -642,7 +660,7 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
             jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(clo, cn, setup_t)
+    )(blo, bn, cmask, setup_t)
 
     pos = _unband(pos, bsz, n_bands, tile_h, tile_w, n_cols, height,
                   width)
@@ -669,10 +687,15 @@ def _fused_impl(records, verts_ndc, row_faces, row_id, *, n_faces: int,
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
+    bpp = 1   # bands per program. 2 was measured 2x SLOWER (233 vs
+    # 110 ms/128 at 224px): the second band's window DMA only
+    # starts after the first band's compute, exposing its full
+    # latency, and the doubled output block defeats the revolving
+    # write pipeline
     band_px = tile_h * tile_w
     col_px = band_px // n_cols
 
-    (clo, cn), (blo, bn), coeffs = _band_windows(
+    (blo, bn), cmask, coeffs = _band_windows(
         verts_ndc, row_faces, row_id, height, width, tile_h, n_cols,
         cull_backfaces)
     # setup and records LANE-TRANSPOSED: (B, fields, rows) — a window DMA
@@ -683,10 +706,11 @@ def _fused_impl(records, verts_ndc, row_faces, row_id, *, n_faces: int,
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
-                          n_cols=n_cols, band_px=band_px, mode="select"),
+                          n_cols=n_cols, band_px=band_px, mode="select",
+                          bpp=bpp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(bsz, n_bands),
+            num_scalar_prefetch=3,
+            grid=(bsz, n_bands // bpp),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # setup, HBM
                 pl.BlockSpec(memory_space=pl.ANY),   # records, HBM
@@ -700,7 +724,7 @@ def _fused_impl(records, verts_ndc, row_faces, row_id, *, n_faces: int,
                 pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, band_px, _OUT_F),
+                pl.BlockSpec((1, bpp, band_px, _OUT_F),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -710,7 +734,7 @@ def _fused_impl(records, verts_ndc, row_faces, row_id, *, n_faces: int,
                                  jnp.bfloat16),
         ],
         interpret=_interpret(),
-    )(clo, cn, setup_t, rec_t)[0]
+    )(blo, bn, cmask, setup_t, rec_t)[0]
 
     # ONE transpose to field-major (B, F, H, W): per-field slices of a
     # feature-minor array materialize (B,H,W,1)-shaped temps whose minor
@@ -767,10 +791,15 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
+    bpp = 1   # bands per program. 2 was measured 2x SLOWER (233 vs
+    # 110 ms/128 at 224px): the second band's window DMA only
+    # starts after the first band's compute, exposing its full
+    # latency, and the doubled output block defeats the revolving
+    # write pipeline
     band_px = tile_h * tile_w
     col_px = band_px // n_cols
 
-    (clo, cn), _, coeffs = _band_windows(
+    (blo, bn), cmask, coeffs = _band_windows(
         verts_ndc, row_faces, row_id, height, width, tile_h, n_cols,
         cull_backfaces)
     setup_t = coeffs                   # already (B, 16 fields, rows)
@@ -778,10 +807,11 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
-                          n_cols=n_cols, band_px=band_px, mode="shade"),
+                          n_cols=n_cols, band_px=band_px, mode="shade",
+                          bpp=bpp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(bsz, n_bands),
+            num_scalar_prefetch=3,
+            grid=(bsz, n_bands // bpp),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # setup, HBM
                 pl.BlockSpec(memory_space=pl.ANY),   # records, HBM
@@ -795,7 +825,7 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
                 pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, _OUT_S, band_px),
+                pl.BlockSpec((1, bpp, _OUT_S, band_px),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -805,7 +835,7 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
                                  jnp.bfloat16),
         ],
         interpret=_interpret(),
-    )(clo, cn, setup_t, rec_t)[0]
+    )(blo, bn, cmask, setup_t, rec_t)[0]
 
     packed = jnp.transpose(packed, (0, 2, 1, 3))
     packed = _unband(packed.reshape(bsz, _OUT_S, n_bands * band_px),
