@@ -37,11 +37,31 @@ class DeviceBFM(NamedTuple):
     face_adj_slot: jnp.ndarray   # (F, 3) int32 flat v*deg_max+rank
     raster_rows: jnp.ndarray     # (F', 3) int32 padded raster row order
     raster_row_id: jnp.ndarray   # (F',) int32 face id per row, F+1 = pad
+    raster_corner_adj: jnp.ndarray  # (N, deg_max) int32: per vertex, the
+                                 # flat CORNER-MAJOR ROW-ORDERED corner
+                                 # positions (slot * F' + row) it appears
+                                 # at in the render-record gather; 3F' =
+                                 # pad. Derived here (not an asset field):
+                                 # it makes the record pack's adjoint a
+                                 # fixed gather instead of a scatter-add.
 
 
 def device_bfm(assets) -> DeviceBFM:
-    return DeviceBFM(*(jnp.asarray(getattr(assets, f))
-                       for f in DeviceBFM._fields))
+    import numpy as np
+    vals = {f: jnp.asarray(getattr(assets, f))
+            for f in DeviceBFM._fields if f != "raster_corner_adj"}
+    vca = np.asarray(assets.vertex_corner_adj)      # flat face*3+slot
+    rid = np.asarray(assets.raster_row_id)
+    n_f = assets.faces.shape[0]
+    n_rows = rid.shape[0]
+    row_of_face = np.zeros(n_f, np.int64)
+    live = rid < n_f
+    row_of_face[rid[live]] = np.nonzero(live)[0]
+    face = np.clip(vca // 3, 0, n_f - 1)
+    rca = np.where(vca >= 3 * n_f, 3 * n_rows,
+                   (vca % 3) * n_rows + row_of_face[face])
+    vals["raster_corner_adj"] = jnp.asarray(rca.astype(np.int32))
+    return DeviceBFM(**vals)
 
 
 # --- C3: shape/texture synthesis (SURVEY.md §9.1) ---

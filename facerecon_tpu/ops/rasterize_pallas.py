@@ -497,7 +497,10 @@ def _split_records(records, row_id):
              independent: any raster row order works), and the winner id
              in row orientation for the transposed shade-mode select.
              0 = none; bin-pad rows carry the F+2 sentinel via row_id.
-      45:48  pad
+      45:48  bytes of (raster ROW index + 1): the select delivers the
+             winner's row for free, so the backward one-hot keys on a
+             plain in-kernel iota — no row->id table, no id DMA (a
+             (rows, 1) id-table DMA also cannot tile on TPU)
 
     records are FIELD-MAJOR (B, 24, rows); the output is (B, 48, rows) —
     exactly the lane-transposed layout the kernel DMAs, so no transpose
@@ -513,15 +516,22 @@ def _split_records(records, row_id):
     x0 = _split3(records[:, 15:16])
     y0 = _split3(records[:, 16:17])
     rows = records.shape[-1]
-    rid = jnp.zeros((rows,), jnp.int32).at[:row_id.shape[0]].set(
+    # slack rows beyond the row table key to an UNMATCHABLE sentinel (not
+    # 0): a background pixel's key 0 must select NOTHING, so its whole
+    # selected record — including the row bytes below — stays exactly zero
+    rid = jnp.full((rows,), 0xFFFFFF, jnp.int32).at[:row_id.shape[0]].set(
         row_id + 1)[None, None, :]
     idb = jnp.concatenate(
         [rid & 255, (rid >> 8) & 255, rid >> 16],
         axis=1).astype(jnp.bfloat16)                 # byte-valued: exact
     idb = jnp.broadcast_to(idb, (records.shape[0], 3, rows))
-    pad = jnp.zeros((records.shape[0], 3, rows), jnp.bfloat16)
+    rowi = (jnp.arange(rows, dtype=jnp.int32) + 1)[None, None, :]
+    rwb = jnp.concatenate(
+        [rowi & 255, (rowi >> 8) & 255, rowi >> 16],
+        axis=1).astype(jnp.bfloat16)
+    rwb = jnp.broadcast_to(rwb, (records.shape[0], 3, rows))
     return jnp.concatenate(
-        [rad_hi, rad_lo, w0p, w1p, w2p, *x0, *y0, idb, pad], axis=1)
+        [rad_hi, rad_lo, w0p, w1p, w2p, *x0, *y0, idb, rwb], axis=1)
 
 
 def col_width(width: int, n_cols: int) -> int:
@@ -901,79 +911,111 @@ def _rs_fwd(records, verts_ndc, row_faces, row_id, n_faces, height, width,
         records, jax.lax.stop_gradient(verts_ndc), row_faces, row_id,
         n_faces=n_faces, height=height, width=width, tile_h=tile_h,
         n_cols=n_cols, cull_backfaces=cull_backfaces)
-    return (pos, prec, zbuf), (pos, records.shape, blo, bn, row_id)
+    # the winner's RASTER ROW rides the select in record fields 45:48
+    # (see _split_records), so the backward keys its one-hot on a plain
+    # row iota — no raster-row -> face-id table, no id DMA
+    rowp = (prec[:, 45] + prec[:, 46] * 256.0
+            + prec[:, 47] * 65536.0).astype(jnp.int32) - 1
+    rowp = jnp.where(pos >= 0, rowp, -1)
+    return (pos, prec, zbuf), (rowp, records.shape, blo, bn)
 
 
-def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, id_hbm, out_ref,
-                 scr_pos, scr_g, scr_id, sem, *, band_px: int):
+def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, out_ref,
+                 scr_pos, scr_g, sem, *, band_px: int):
     """Backward of the one-hot select WITHOUT a scatter: the adjoint of
     sel = onehot @ rec is d_rec = onehot^T @ g — another one-hot matmul.
     Per (image, 8-chunk group) program: accumulate over the bands whose
     candidate window intersects the group (2-3 on coherent meshes). The
-    one-hot keys each ROW'S face id (id_hbm, the raster row -> face id
-    table) against the winner ids, so it is exact under any row order.
-    This replaces the XLA segment-sum scatter, which ran at
-    ~element/cycle (~200 ms per batch-32 train step); the MXU form is
-    ~50x faster."""
+    one-hot keys the winner RASTER ROW (delivered by the forward select
+    through record fields 45:48) against a plain row iota — exact under
+    any row order, and needs no raster-row -> face-id table (whose
+    (rows, 1) DMA also cannot tile on TPU). This replaces the XLA
+    segment-sum scatter, which ran at ~element/cycle (~200 ms per
+    batch-32 train step); the MXU form is ~50x faster."""
     b = pl.program_id(0)
     g = pl.program_id(1)
     lo = blo_ref[b, g]
     hi = bhi_ref[b, g]
+    tri_i = (jax.lax.broadcasted_iota(jnp.int32, (_GLANES, 1), 0)
+             + g * _GLANES)                 # (GLANES, 1) row indices
 
-    di = pltpu.make_async_copy(
-        id_hbm.at[pl.ds(g * _GLANES, _GLANES)], scr_id, sem.at[2])
-    di.start()
-    di.wait()
-    tri_i = scr_id[...]                     # (GLANES, 1) face ids
+    # the accumulator lives in the (VMEM-resident) output block — a
+    # (24, 1024) f32 value carried through the fori_loop paid ~1 us of
+    # VMEM round-trips PER band. Band fetches are double-buffered into
+    # slot A/B scratch halves (scr_pos/scr_g are (2, ...)), so band k+1's
+    # DMA overlaps band k's dots: the serial start/wait loop exposed
+    # ~2 us of DMA latency per band (~12 covered bands/group at training
+    # poses).
+    out_ref[0, 0] = jnp.zeros((_FIELDS, _GLANES), jnp.float32)
 
-    def body(band, acc):
-        dp = pltpu.make_async_copy(pos_hbm.at[b, band], scr_pos, sem.at[0])
-        dg = pltpu.make_async_copy(g_hbm.at[b, band], scr_g, sem.at[1])
-        dp.start()
-        dg.start()
-        dp.wait()
-        dg.wait()
-        # pixel winners of this band vs this group's row face ids
-        onehot_t = (scr_pos[...] == tri_i).astype(jnp.bfloat16)
-        gt = scr_g[...]                         # (fields, band_px) f32
+    def start(band, slot):
+        pltpu.make_async_copy(pos_hbm.at[b, band],
+                              scr_pos.at[slot], sem.at[2 * slot]).start()
+        pltpu.make_async_copy(g_hbm.at[b, band],
+                              scr_g.at[slot], sem.at[2 * slot + 1]).start()
+
+    def wait(band, slot):
+        pltpu.make_async_copy(pos_hbm.at[b, band],
+                              scr_pos.at[slot], sem.at[2 * slot]).wait()
+        pltpu.make_async_copy(g_hbm.at[b, band],
+                              scr_g.at[slot], sem.at[2 * slot + 1]).wait()
+
+    def accumulate(slot):
+        # pixel winner ROWS of this band vs this group's row range
+        onehot_t = (scr_pos[slot] == tri_i).astype(jnp.bfloat16)
+        gt = scr_g[slot]                        # (fields, band_px) f32
         hi_f = jax.lax.bitcast_convert_type(
             jax.lax.bitcast_convert_type(gt, jnp.uint32)
             & jnp.uint32(0xFFFF0000), jnp.float32)   # opaque truncation
         hi_p = hi_f.astype(jnp.bfloat16)
         lo_p = (gt - hi_f).astype(jnp.bfloat16)
+        acc = out_ref[0, 0]
         for part in (hi_p, lo_p):               # 16-bit gradient precision
             acc = acc + jax.lax.dot_general(
                 part, onehot_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        return acc
+        out_ref[0, 0] = acc
 
-    acc = jnp.zeros((_FIELDS, _GLANES), jnp.float32)
-    out_ref[0, 0] = jax.lax.fori_loop(lo, hi + 1, body, acc)
+    pl.when(lo <= hi)(lambda: start(lo, 0))
+
+    def pair(k, _):
+        i0 = lo + 2 * k                        # slot 0 DMA in flight
+        pl.when(i0 + 1 <= hi)(lambda: start(i0 + 1, 1))
+        wait(i0, 0)
+        accumulate(0)
+        pl.when(i0 + 2 <= hi)(lambda: start(i0 + 2, 0))
+
+        @pl.when(i0 + 1 <= hi)
+        def _():
+            wait(i0 + 1, 1)
+            accumulate(1)
+
+        return 0
+
+    jax.lax.fori_loop(0, (hi + 2 - lo) // 2, pair, 0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("rows", "height", "width", "tile_h",
                                     "n_cols"))
-def _select_grad(pos, g_sel, blo, bn, row_id, *, rows: int, height: int,
+def _select_grad(pos, g_sel, blo, bn, *, rows: int, height: int,
                  width: int, tile_h: int, n_cols: int):
-    """pos (B,H,W) winner face ids, g_sel (B,48,H,W) cotangent, band
-    union chunk windows, row_id (F',) raster row -> face id -> d
-    attribute-records (B, 24, rows) field-major (raster row order): radiance
-    lo-fields 9:18 and corner lo-fields of the split layout,
-    group-blocked matmul adjoint."""
+    """pos (B,H,W) winner RASTER ROWS (-1 = background), g_sel
+    (B,48,H,W) cotangent, band union chunk windows -> d attribute-records
+    (B, 24, rows) field-major (raster row order): radiance lo-fields 9:18
+    and corner lo-fields of the split layout, group-blocked matmul
+    adjoint."""
     bsz = pos.shape[0]
-    # sublane-aligned like the forward: band_px is the matmul's contraction
-    # dim here, so 128-lane rounding would pay extra MXU passes for columns
-    # whose pos is -1 (the HBM buffer still tiles to 128 internally, but
-    # the DMA and the dot only touch the live columns)
     tile_w = col_width(width, n_cols) * n_cols
     band_px = tile_h * tile_w
     n_bands = (height + tile_h - 1) // tile_h
     ngrp = rows // _GLANES
-
-    # raster row -> face id table; slack rows key to an unmatchable id
-    id_tbl = jnp.full((rows, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
-    id_tbl = id_tbl.at[:row_id.shape[0], 0].set(row_id)
+    # the per-band DMA's minor extent must be 128-aligned (Mosaic rejects
+    # a 448-wide slice of a 512-padded tiled buffer), so the band arrays
+    # pad to the next lane multiple; the pad columns carry pos = -1 and
+    # zero cotangent, so they only widen the dot's K dim (~14% at 224px)
+    bpad = (-band_px) % 128
+    band_k = band_px + bpad
 
     # gather the differentiable cotangent fields into the 24-wide
     # attribute layout. In an exact multi-part split x = p0 + ... + pk,
@@ -993,11 +1035,14 @@ def _select_grad(pos, g_sel, blo, bn, row_id, *, rows: int, height: int,
     g_b = g24.reshape(bsz, _FIELDS, n_bands, tile_h, n_cols, col_w)
     g_b = jnp.transpose(g_b, (0, 2, 1, 4, 3, 5))
     g_b = g_b.reshape(bsz, n_bands, _FIELDS, band_px)
+    g_b = jnp.pad(g_b, ((0, 0), (0, 0), (0, 0), (0, bpad)))
     pos_p = jnp.pad(pos, ((0, 0), (0, pad_h), (0, pad_w)),
                     constant_values=-1)
     pos_b = pos_p.reshape(bsz, n_bands, tile_h, n_cols, col_w)
     pos_b = jnp.transpose(pos_b, (0, 1, 3, 2, 4)).reshape(
         bsz, n_bands, 1, band_px)
+    pos_b = jnp.pad(pos_b, ((0, 0), (0, 0), (0, 0), (0, bpad)),
+                    constant_values=-1)
 
     # per 8-chunk group: the contiguous range of bands whose chunk window
     # intersects it (every band on incoherent meshes — slow but correct)
@@ -1019,13 +1064,11 @@ def _select_grad(pos, g_sel, blo, bn, row_id, *, rows: int, height: int,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),       # pos, HBM
                 pl.BlockSpec(memory_space=pl.ANY),       # g, HBM
-                pl.BlockSpec(memory_space=pl.ANY),       # row ids, HBM
             ],
             scratch_shapes=[
-                pltpu.VMEM((1, band_px), jnp.int32),
-                pltpu.VMEM((_FIELDS, band_px), jnp.float32),
-                pltpu.VMEM((_GLANES, 1), jnp.int32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.VMEM((2, 1, band_k), jnp.int32),
+                pltpu.VMEM((2, _FIELDS, band_k), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, _FIELDS, _GLANES),
@@ -1038,7 +1081,7 @@ def _select_grad(pos, g_sel, blo, bn, row_id, *, rows: int, height: int,
                                  jnp.float32),
         ],
         interpret=_interpret(),
-    )(b_lo, b_hi, pos_b, g_b, id_tbl)[0]
+    )(b_lo, b_hi, pos_b, g_b)[0]
 
     # (B, ngrp, 24, GLANES) -> (B, 24, rows): field-major like the
     # records (rows = ngrp * GLANES concatenated along the minor axis)
@@ -1049,12 +1092,12 @@ def _select_grad(pos, g_sel, blo, bn, row_id, *, rows: int, height: int,
 
 def _rs_bwd(n_faces, height, width, tile_h, n_cols, cull_backfaces, res,
             g):
-    pos, rec_shape, blo, bn, row_id = res
+    rowp, rec_shape, blo, bn = res
     _, g_sel, _ = g                    # g_sel is field-major (B, 48, H, W)
     # hi split parts are staircases of the source value (zero derivative
     # a.e.), so only the LO fields carry the cotangent — _select_grad
     # gathers them and runs the matmul adjoint (no scatter)
-    grad = _select_grad(pos, g_sel, blo, bn, row_id, rows=rec_shape[2],
+    grad = _select_grad(rowp, g_sel, blo, bn, rows=rec_shape[2],
                         height=height, width=width, tile_h=tile_h,
                         n_cols=n_cols)
     return grad, None, None, None

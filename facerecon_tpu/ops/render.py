@@ -85,7 +85,7 @@ def interpolate(tri_id, bary, faces, attrs):
 
 
 def _pack_render_records(verts_ndc, radiance, faces, height: int,
-                         width: int, pad_rows: int):
+                         width: int, pad_rows: int, corner_adj=None):
     """Per-face differentiable render attributes, FIELD-MAJOR
     (B, 24, pad_rows): [radiance corners 9 | anchored affine
     w-coefficients 6 | anchor x0,y0 | pad 7].
@@ -108,7 +108,15 @@ def _pack_render_records(verts_ndc, radiance, faces, height: int,
     f = faces.shape[0]
     per_vert = jnp.concatenate([radiance, screen], axis=-1)   # (B, N, 5)
     idx = jnp.transpose(faces).reshape(-1)                    # corner-major
-    corners = jnp.take(per_vert, idx, axis=1)                 # (B, 3F, 5)
+    if corner_adj is not None:
+        # gather-adjoint take (geometry.take_corners): jnp.take's natural
+        # VJP is a scatter-add (~element/cycle on TPU, ~35 ms/32 in the
+        # training backward); corner_adj must be the CORNER-MAJOR
+        # row-ordered table matching idx (DeviceBFM.raster_corner_adj)
+        from facerecon_tpu.ops.geometry import take_corners
+        corners = take_corners(per_vert, idx, corner_adj, 0)  # (B, 3F, 5)
+    else:
+        corners = jnp.take(per_vert, idx, axis=1)             # (B, 3F, 5)
 
     def fld(c, k):
         return corners[:, c * f:(c + 1) * f, k]               # (B, F)
@@ -246,7 +254,8 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
         # so the kernel's per-column candidate windows stay tight.
         records = _pack_render_records(
             geom.verts_ndc, radiance, bfm.raster_rows, h, w,
-            rasterize_pallas.padded_rows(bfm.raster_rows.shape[0]))
+            rasterize_pallas.padded_rows(bfm.raster_rows.shape[0]),
+            corner_adj=bfm.raster_corner_adj)
         if inference:
             # forward-only path: shading finishes inside the kernel and
             # only 16 fields/pixel reach HBM (no gradient support)

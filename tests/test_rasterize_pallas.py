@@ -220,8 +220,20 @@ def test_raster_row_order_and_columns_match_identity(cfg, assets, rng):
             rec_rows, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h,
             n_cols=n_cols, row_faces=rows, row_id=rid)
         assert np.array_equal(np.asarray(tid), np.asarray(tid0)), n_cols
-        np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel0))
+        # fields 45:48 carry the winner's RASTER ROW bytes (the backward's
+        # one-hot key) and legitimately differ between row orders; all
+        # render-visible fields must be identical
+        np.testing.assert_array_equal(np.asarray(sel)[:, :45],
+                                      np.asarray(sel0)[:, :45])
         np.testing.assert_array_equal(np.asarray(zb), np.asarray(zb0))
+        # the row bytes decode to the PERMUTED winner row: row_id[row]
+        # must equal the winner face id at every covered pixel
+        rsel = np.asarray(sel)
+        rown = (rsel[:, 45] + rsel[:, 46] * 256 + rsel[:, 47] * 65536
+                ).astype(np.int64) - 1
+        cov = np.asarray(tid) >= 0
+        rid_np = np.asarray(rid)
+        assert np.array_equal(rid_np[rown[cov]], np.asarray(tid)[cov])
 
     # VJP: the row-order gradient is the identity gradient permuted to
     # rows (zero at bin-pad rows)
