@@ -8,11 +8,13 @@ intermediates never hit HBM. The Pallas kernel (ops/rasterize_pallas.py)
 shares this module's setup/binning and improves on it with per-band dynamic
 chunk counts in VMEM.
 
-Tie-breaking note: within a band the argmin runs over ymin-sorted candidate
-order, so equal-depth ties resolve to the lower *sorted position* rather
-than the lower triangle id. Exact z-ties between non-degenerate distinct
-triangles only occur for pixels exactly on a shared edge; parity tests
-treat those pixels with tolerance (see tests/test_rasterize_fast.py).
+Tie-breaking: equal-depth ties resolve to the lowest ORIGINAL triangle id
+(the oracle's and the Pallas kernel's rule) — the winner is picked by a
+two-step reduction (min depth, then min id among exact-depth matches), not
+by argmin over the ymin-sorted position. Residual parity mismatches vs the
+oracle are knife-edge pixels only, where 1-ulp f32 rounding between the
+direct and affine-precomputed edge forms flips a ~0 edge value (see
+tests/test_rasterize_fast.py).
 """
 
 from __future__ import annotations
@@ -64,6 +66,7 @@ def rasterize(verts_ndc, faces, *, height: int, width: int,
         lo = setup.band_lo[b]
         n_live = setup.band_hi[b] - lo
         c = jax.lax.dynamic_slice(setup.coeffs, (lo, 0), (cap, SETUP_WIDTH))
+        ids = jax.lax.dynamic_slice(setup.ids, (lo,), (cap,))
         live = jnp.arange(cap) < n_live                       # (C,)
 
         py = (b * tile_h) + rows_in_band                      # (th,1)
@@ -79,11 +82,19 @@ def rasterize(verts_ndc, faces, *, height: int, width: int,
         z = c[:, 6:7] * qx + c[:, 7:8] * qy + c[:, 8:9]
         zm = jnp.where(cov, z, jnp.inf)
 
-        k = jnp.argmin(zm, axis=0)                            # (P,)
+        # id-valued tie rule (the oracle's / Pallas kernel's): min depth,
+        # then the LOWEST ORIGINAL id among exact-depth matches; k is that
+        # winner's candidate row (for the w0/w1 gather). Pad rows carry
+        # id -1 but zm = inf, so they only "win" uncovered pixels.
+        zwin = jnp.min(zm, axis=0)                            # (P,)
+        tie = zm == zwin[None, :]
+        big = jnp.int32(2 ** 30)
+        idw = jnp.min(jnp.where(tie, ids[:, None], big), axis=0)
+        k = jnp.argmin(jnp.where(tie & (ids[:, None] == idw[None, :]),
+                                 jnp.int32(0), big), axis=0)
         p_idx = jnp.arange(px.shape[0])
-        zwin = zm[k, p_idx]
         hit = jnp.isfinite(zwin)
-        tid = jnp.where(hit, jnp.take(setup.ids, lo + k), -1)
+        tid = jnp.where(hit, idw, -1)
         b0 = jnp.where(hit, w0[k, p_idx], 0.0)
         b1 = jnp.where(hit, w1[k, p_idx], 0.0)
         bary = jnp.stack([b0, b1, jnp.where(hit, 1.0 - b0 - b1, 0.0)], -1)

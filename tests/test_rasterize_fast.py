@@ -44,6 +44,12 @@ def test_tiled_matches_oracle_on_face_mesh(cfg, assets, rng):
         frac, zmax = _mismatch_report(tid_t, tid_o, z_t, z_o)
         assert frac < 2e-3, f"tri_id mismatch fraction {frac}"
         assert zmax < 1e-3, f"mismatched pixels disagree in depth by {zmax}"
+        # id-valued tie rule: wherever both paths compute the SAME winning
+        # depth (covered pixels, exact f32 equality — includes every true
+        # z-tie), the winner id must be identical. Residual id mismatches
+        # can only be knife-edge pixels whose depth differs by rounding.
+        same_z = (tid_o >= 0) & (tid_t >= 0) & (z_t == z_o)
+        np.testing.assert_array_equal(tid_t[same_z], tid_o[same_z])
         agree = tid_t == tid_o
         np.testing.assert_allclose(bary_t[agree], bary_o[agree],
                                    rtol=1e-3, atol=2e-4)
@@ -66,10 +72,14 @@ def test_tiled_matches_oracle_on_triangle_soup():
         tid_t, _, z_t = rasterize_tiled.rasterize(
             jnp.asarray(verts), jnp.asarray(faces), height=h, width=w,
             max_tris_per_band=128)
-        frac, zmax = _mismatch_report(np.asarray(tid_t), tid_o,
-                                      np.asarray(z_t), z_o)
+        tid_t, z_t = np.asarray(tid_t), np.asarray(z_t)
+        frac, zmax = _mismatch_report(tid_t, tid_o, z_t, z_o)
         assert frac < 2e-2, f"trial {trial}: mismatch {frac}"
         assert zmax < 1e-3
+        # exact-depth pixels (incl. duplicate-triangle exact ties) must now
+        # agree on the id — the tie rule keys on the original id
+        same_z = (tid_o >= 0) & (tid_t >= 0) & (z_t == z_o)
+        np.testing.assert_array_equal(tid_t[same_z], tid_o[same_z])
 
 
 def test_backface_culling_preserves_visible_surface(cfg, assets, rng):
