@@ -152,7 +152,24 @@ def run(args) -> dict:
     bfm = pipe.bfm
     rng = np.random.default_rng(args.seed)
 
-    if getattr(args, "frames_dir", None):
+    if getattr(args, "video", None):
+        # raw footage: decode + align in one step (SURVEY.md §2 L6 "video
+        # frame extraction for tracking"); landmarks come as ONE (T,68,2)
+        # side file for the clip
+        from facerecon_tpu.data.video import load_video
+        frames, gt_lmk = load_video(
+            args.video, cfg, landmarks=getattr(args, "video_landmarks",
+                                               None),
+            align=getattr(args, "align", "68pt"), assets=assets,
+            max_frames=getattr(args, "max_frames", None),
+            stride=getattr(args, "stride", 1))
+        if not np.isfinite(gt_lmk).all():
+            raise ValueError("tracking needs a --video-landmarks track "
+                             "(the refinement objective uses the landmark "
+                             "loss)")
+        args.frames = frames.shape[0]
+        seq = base = None
+    elif getattr(args, "frames_dir", None):
         # real-input workflow (SURVEY.md §2 L6 "video frame extraction for
         # tracking"): an ordered folder of extracted frames with 68-landmark
         # side-cars, aligned on the host like the training pipeline
@@ -260,6 +277,16 @@ def main(argv=None):
                    help="ordered folder of video frames (+68-landmark "
                         "side-cars) to track; omit for the synthetic "
                         "sequence")
+    p.add_argument("--video", default=None,
+                   help="video file to decode and track (cv2-readable); "
+                        "pair with --video-landmarks")
+    p.add_argument("--video-landmarks", default=None,
+                   help="(T,68,2) .npy or flat-text landmark track for "
+                        "--video")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="--video: cap decoded frame count")
+    p.add_argument("--stride", type=int, default=1,
+                   help="--video: keep every k-th frame")
     p.add_argument("--align", default="68pt",
                    choices=("5pt", "68pt", "none"),
                    help="alignment mode for --frames-dir")

@@ -93,3 +93,79 @@ def test_import_reports_shape_mismatch(cfg):
     assert report["imported"] == 0
     assert report["shape_skipped"][0][0] == "conv1.weight"
     assert report["unknown_keys"] == ["not.a.resnet.key"]
+
+
+def test_tf_checkpoint_import(tmp_path):
+    """from_tf_checkpoint + import_flat on a REAL TF-1.x-style checkpoint
+    (plain variable names via tf.compat.v1.train.Saver — the format the
+    reference family ships; SURVEY.md §6 checkpoint row)."""
+    import pytest
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+    from facerecon_tpu.convert_weights import from_tf_checkpoint, import_flat
+
+    rng = np.random.default_rng(3)
+    k = rng.standard_normal((4, 3)).astype(np.float32)
+    b = rng.standard_normal((3,)).astype(np.float32)
+    decoy = rng.standard_normal((7,)).astype(np.float32)
+    ckpt = str(tmp_path / "tf1" / "model.ckpt")
+    with tf1.Graph().as_default():
+        tf1.get_variable("net/Dense_0/kernel", initializer=k)
+        tf1.get_variable("net/Dense_0/bias", initializer=b)
+        tf1.get_variable("net/unrelated", initializer=decoy)
+        saver = tf1.train.Saver()
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, ckpt)
+
+    flat = from_tf_checkpoint(ckpt)
+    assert "net/Dense_0/kernel" in flat
+    np.testing.assert_array_equal(flat["net/Dense_0/kernel"], k)
+
+    template = {"Dense_0": {"kernel": np.zeros((4, 3), np.float32),
+                            "bias": np.zeros((3,), np.float32)},
+                "Other_0": {"kernel": np.zeros((2, 2), np.float32)}}
+    new_params, report = import_flat(template, flat)
+    np.testing.assert_array_equal(np.asarray(new_params["Dense_0"]["kernel"]),
+                                  k)
+    np.testing.assert_array_equal(np.asarray(new_params["Dense_0"]["bias"]),
+                                  b)
+    # the unmatched template leaf keeps its value; the decoy maps nowhere
+    assert np.all(np.asarray(new_params["Other_0"]["kernel"]) == 0.0)
+    assert report["matched"] == 2
+    assert report["unmatched"] == 1
+
+
+def test_tf_cli_roundtrip(tmp_path):
+    """python -m facerecon_tpu.convert_weights --tf ... --out ... produces
+    a restorable orbax checkpoint (the --torch twin is tested above)."""
+    import pytest
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+    from facerecon_tpu import convert_weights as cw
+    from facerecon_tpu.checkpoint import CheckpointManager
+
+    # a TF1 ckpt holding one recognizable head kernel for the tiny model
+    from facerecon_tpu.config import tiny_config
+    from facerecon_tpu.pipeline import init_params, make_pipeline
+    from facerecon_tpu.utils.bfm import synthetic_bfm
+    cfg2 = tiny_config()
+    pipe = make_pipeline(cfg2, synthetic_bfm(cfg2, 0))
+    variables = init_params(pipe, jax.random.PRNGKey(0))
+    head = variables["params"]["Dense_0"]["kernel"]
+    marker = np.full(head.shape, 0.125, np.float32)
+
+    ckpt = str(tmp_path / "tfsrc" / "model.ckpt")
+    with tf1.Graph().as_default():
+        tf1.get_variable("Dense_0/kernel", initializer=marker)
+        saver = tf1.train.Saver()
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, ckpt)
+
+    out_dir = str(tmp_path / "converted")
+    cw.main(["--tf", ckpt, "--out", out_dir, "--tiny"])
+    mgr = CheckpointManager(out_dir)
+    state = mgr.restore()
+    got = np.asarray(state["variables"]["params"]["Dense_0"]["kernel"])
+    np.testing.assert_array_equal(got, marker)

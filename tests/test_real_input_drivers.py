@@ -79,3 +79,52 @@ def test_track_from_disk_recovers(tmp_path, cfg, assets):
     coeffs = np.load(os.path.join(out_dir, "tracked_coeffs.npy"))
     assert coeffs.shape == (frames_n, cfg.n_coeff)
     assert np.isfinite(coeffs).all()
+
+
+def test_track_from_video_file(tmp_path, cfg, assets):
+    """--video path (SURVEY.md §2 L6 video frame extraction): encode a
+    synthetic clip with cv2, track straight from the file + one (T,68,2)
+    landmark side file, and assert recovery within codec tolerance."""
+    import pytest
+    cv2 = pytest.importorskip("cv2")
+    bfm = device_bfm(assets)
+    rng = np.random.default_rng(9)
+    base = sample_coeffs(rng, cfg, 1)[0]
+    frames_n = 4
+    t_ax = np.linspace(0, 2 * np.pi, frames_n, dtype=np.float32)
+    seq = np.tile(base, (frames_n, 1))
+    sp = cfg.coeff_split
+    seq[:, sp[2]] += 0.15 * np.sin(t_ax)
+    frames, lmk = render_batch(seq, bfm, cfg)
+    frames = np.asarray(frames)
+
+    path = str(tmp_path / "clip.avi")
+    h, w = frames.shape[1:3]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25, (w, h))
+    assert vw.isOpened(), "cv2 MJPG writer unavailable"
+    for i in range(frames_n):
+        bgr = (np.clip(frames[i], 0, 1) * 255).astype(np.uint8)[..., ::-1]
+        vw.write(bgr)
+    vw.release()
+    lmk_path = str(tmp_path / "clip_lmk.npy")
+    np.save(lmk_path, np.asarray(lmk))
+
+    from facerecon_tpu.data.video import load_video
+    dec, dec_lmk = load_video(path, cfg, landmarks=lmk_path, align="none")
+    assert dec.shape == (frames_n, cfg.image_size, cfg.image_size, 3)
+    # MJPG is lossy but mild: decoded frames stay close to the source
+    assert np.abs(dec - frames).mean() < 0.03
+    np.testing.assert_allclose(dec_lmk, np.asarray(lmk), atol=1e-3)
+
+    out_dir = str(tmp_path / "video_track_out")
+    rep = track_mod.run(argparse.Namespace(
+        frames=0, frames_dir=None, video=path, video_landmarks=lmk_path,
+        max_frames=None, stride=1, align="none", out=out_dir,
+        refine_steps=80, lr=1e-2, ckpt=None, sequential=False,
+        warm_alpha=0.5, bfm=None, tiny=True, seed=0, platform=None))
+    assert rep["frames"] == frames_n
+    assert rep["loss_last"] < rep["loss_first"] * 0.5
+    assert rep["landmark_rmse_px"] < 2.0       # codec noise allowance
+    coeffs = np.load(os.path.join(out_dir, "tracked_coeffs.npy"))
+    assert coeffs.shape == (frames_n, cfg.n_coeff)
+    assert np.isfinite(coeffs).all()
