@@ -5,6 +5,8 @@ render at 224x224 on one TPU v5e chip. Prints ONE JSON line.
   BENCH_BATCH=64 python bench.py
   BENCH_MODE=render512 python bench.py   # config 5: batch-256 512x512
                                          # rendering (no CNN), microbatched
+  BENCH_MODE=train python bench.py       # config 4: full fwd+bwd
+                                         # self-supervised train step
 """
 
 from __future__ import annotations
@@ -81,9 +83,58 @@ def render512():
     }))
 
 
+def train_bench():
+    """Config-4 harness (BASELINE.json:10): the full differentiable
+    training path — CNN fwd + render + losses + backward (select matmul
+    adjoint) + Adam update — chained `chunk` steps per dispatch. This is
+    the tracked artifact for the differentiable render path: the headline
+    bench serves the non-differentiable in-kernel-shade path, so without
+    this number config-3/4 perf would be invisible (VERDICT r3 item 3)."""
+    from facerecon_tpu.config import default_config
+    from facerecon_tpu.pipeline import make_pipeline
+    from facerecon_tpu.train import (init_state, make_optimizer,
+                                     make_train_step)
+    from facerecon_tpu.utils.bfm import synthetic_bfm
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "4"))
+    cfg = default_config(batch_size=batch)
+    assets = synthetic_bfm(cfg, seed=0)
+    pipe = make_pipeline(cfg, assets)
+    opt = make_optimizer(cfg, total_steps=1000)
+    state = init_state(pipe, opt, seed=0)
+    step = make_train_step(pipe, opt, chunk=chunk)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.random((chunk, batch, cfg.image_size, cfg.image_size, 3)),
+        dtype=jnp.float32)
+    lmk = jnp.asarray(
+        rng.random((chunk, batch, 68, 2)) * cfg.image_size,
+        dtype=jnp.float32)
+
+    state, parts = step(state, pipe.bfm, images, lmk)   # compile + warmup
+    _ = float(parts["total"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, parts = step(state, pipe.bfm, images, lmk)
+    _ = float(parts["total"])                  # in-order stream sync
+    dt = (time.perf_counter() - t0) / (reps * chunk)
+    print(json.dumps({
+        "metric": "faces/sec/chip (train fwd+bwd, 224px, batch-%d)" % batch,
+        "value": round(batch / dt, 1),
+        "unit": "faces/s",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "render512":
         render512()
+        return
+    if os.environ.get("BENCH_MODE") == "train":
+        train_bench()
         return
     from facerecon_tpu.config import default_config
     from facerecon_tpu.pipeline import (init_params, make_pipeline,

@@ -48,14 +48,14 @@ def main():
 
     @jax.jit
     def produce(v, r):
-        (clo, cn), _, coeffs = RP._band_windows(
+        (clo, cn), cmask, coeffs = RP._band_windows(
             v, rows, rid, size, size, tile_h, n_cols, False)
         rec_t = RP._split_records(
             _pack_render_records(v, r, rows, size, size,
                                  RP.padded_rows(rows.shape[0])), rid)
-        return clo, cn, coeffs, rec_t
+        return clo, cn, cmask, coeffs, rec_t
 
-    clo, cn, setup_t, rec_t = jax.block_until_ready(
+    clo, cn, cmask, setup_t, rec_t = jax.block_until_ready(
         produce(geom.verts_ndc, rad))
     print("inputs ready", setup_t.shape, rec_t.shape, flush=True)
 
@@ -64,13 +64,13 @@ def main():
     n_bands = (size + tile_h - 1) // tile_h
     band_px = tile_h * tile_w
 
-    def call(clo, cn, st, rt):
+    def call(clo, cn, cm, st, rt):
         return pl.pallas_call(
             functools.partial(RP._kernel, tile_h=tile_h, tile_w=tile_w,
                               n_cols=n_cols, band_px=band_px,
                               mode="select"),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(bsz, n_bands),
                 in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                           pl.BlockSpec(memory_space=pl.ANY)],
@@ -94,26 +94,27 @@ def main():
                 jax.ShapeDtypeStruct((bsz, n_bands, band_px, RP._OUT_F),
                                      jnp.bfloat16),
             ],
-        )(clo, cn, st, rt)[0]
+        )(clo, cn, cm, st, rt)[0]
 
     inner = 8
 
     @jax.jit
-    def chained(clo, cn, st, rt):
+    def chained(clo, cn, cm, st, rt):
         def body(carry, _):
-            out = call(clo + (carry * 1e-30).astype(jnp.int32), cn, st, rt)
+            out = call(clo + (carry * 1e-30).astype(jnp.int32), cn, cm,
+                       st, rt)
             s = out[0, 0, 0, 0].astype(jnp.float32)
             return s * 1e-30, s
         _, ss = jax.lax.scan(body, jnp.float32(0), None, length=inner)
         return jnp.sum(ss)
 
     t0 = time.time()
-    _ = float(chained(clo, cn, setup_t, rec_t))
+    _ = float(chained(clo, cn, cmask, setup_t, rec_t))
     print(f"compile {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        out = chained(clo, cn, setup_t, rec_t)
+        out = chained(clo, cn, cmask, setup_t, rec_t)
     _ = float(out)
     dt = (time.time() - t0) / (reps * inner)
     print(f"pallas_call alone (RP_ABLATE={os.environ.get('RP_ABLATE','')}):"

@@ -10,16 +10,16 @@ ops/rasterize_tiled.py (ops/binning.py). Round-3 structure:
     windows are tight contiguous chunk spans (sort-free per frame).
   - CHUNK-GRANULAR WINDOWS: candidate windows are sized in 128-triangle
     chunks; the band's union window is one contiguous DMA.
-  - COLUMN TILES: each band splits into n_cols column tiles and every
-    column runs only the 4-chunk eval slabs intersecting its own window
-    (the per-(band, column) windows of ops/binning.py). A chunk outside a
-    column's window provably covers none of its pixels, so the pruning is
-    exact; with the raster row order it cuts candidate-pixel pairs ~1.8x
-    at 224px/4 cols (2.4x at 8) and more at 512px.
-  - IMMEDIATE PER-SLAB REDUCTION over (col_px, 512) shapes — 8x smaller
-    than round 2's (band_px, 1024) reductions. (A deferred per-lane
-    carry in VMEM scratch was measured 4x slower: carry round-trips
-    dwarf the reductions they save.)
+  - COLUMN TILES + EXACT CHUNK MASKS: each band splits into n_cols
+    column tiles and every column runs only the 128-triangle chunks
+    whose bits are set in its EXACT per-chunk bitmask (ops/binning.py).
+    A chunk outside the mask provably covers none of the column's
+    pixels, so the pruning is exact; chunk granularity is the only one
+    that pays (exact 4-chunk-slab masks measured x0.99 pair cut; exact
+    per-chunk x2.04 at 224px/4cols frontal, x3.2 at training poses).
+  - LANE-WISE CHUNK MERGE: each live chunk folds elementwise into the
+    column's (col_px, 128) (z, id) accumulators; the cross-lane
+    reduction runs ONCE per column instead of twice per slab.
   - ID-VALUED TIES: the carried/compared key is the ORIGINAL face id
     (setup field 12, f32-exact), and the select one-hot keys on id bytes
     embedded in the record (fields 42:45) — the oracle's lowest-face-id
@@ -69,16 +69,15 @@ _WINDOW = 64            # chunks per DMA window (524 KB setup scratch);
                         # on the frontal-pose bench but fires the fallback
                         # on 41% of training bands
 _SEG = 16               # chunks per window-0 DMA segment (2 supers each)
-_ESLAB = 4              # chunks per phase-1 eval slab (512 lanes) — the
-                        # slab-bitmask granularity: one int32 mask bit per
-                        # slab. 256-lane slabs prune ~1.5x more pairs but
-                        # measured SLOWER (141 vs 129 ms/128 at 224px):
-                        # the per-slab fixed costs — two cross-lane
-                        # reductions plus the (col_px, 1) single-lane
-                        # carry updates — double when slabs halve and eat
-                        # the saving
-_SGRP = 4               # chunks per phase-2 select slab (512 lanes);
-                        # live iff either covered eval-slab mask bit set
+_MWORDS = 2             # int32 chunk-mask words per (band, col): exact
+                        # per-chunk hit bits over the window's first
+                        # 32*_MWORDS chunks (= _WINDOW). Chunk granularity
+                        # is the only one that pays: exact masks at the
+                        # old 4-chunk slab granularity measured x0.99
+                        # pair cut (every slab of the span has >=1 live
+                        # chunk), while exact per-chunk masks cut pairs
+                        # x2.04 at 224px/4cols frontal, x3.2 at training
+                        # poses (benchmarks/pair_stats.py)
 _BGRP = 8               # chunks per backward group (1024 lanes)
 _GLANES = _BGRP * _CHUNK  # super / backward group lane width
 _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
@@ -142,10 +141,10 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
     abl = set(os.environ.get("RP_ABLATE", "").split(","))
     with_select = mode != "pos"
     if with_select:
-        (rec_hbm, packed_ref, scr_s, scr_r, scr_zb, scr_pb, scr_acc,
-         sem) = rest
+        (rec_hbm, packed_ref, scr_s, scr_r, scr_zb, scr_pb, scr_az,
+         scr_ai, scr_acc, sem) = rest
     else:
-        pos_ref, z_ref, scr_s, scr_zb, scr_pb, sem = rest
+        pos_ref, z_ref, scr_s, scr_zb, scr_pb, scr_az, scr_ai, sem = rest
     b = pl.program_id(0)
     col_w = tile_w // n_cols
     col_px = tile_h * col_w
@@ -153,10 +152,12 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
 
     def _band(tb):
         t = pl.program_id(1) * bpp + tb
-        # band union window (the DMA span) + per-column slab bitmasks
+        # band union window (the DMA span) + per-column EXACT chunk masks
+        # (_MWORDS int32 words per column, bit i of word w = chunk 32w+i)
         blo = blo_ref[b, t]
         bn = bn_ref[b, t]
-        cmask = [cmask_ref[b, t * n_cols + c] for c in range(n_cols)]
+        cmask = [[cmask_ref[b, (t * n_cols + c) * _MWORDS + w]
+                  for w in range(_MWORDS)] for c in range(n_cols)]
 
         def dma_t(hbm, scr, wbase, lo, size, s):
             # both setup and records are LANE-TRANSPOSED in HBM — (B, fields,
@@ -197,7 +198,6 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
             jnp.float32) + 0.5
         py = ((in_col // col_w).astype(jnp.float32)
               + jnp.float32(t * tile_h) + 0.5)
-        es_lanes = _ESLAB * _CHUNK
         cpix_i = jax.lax.broadcasted_iota(jnp.int32, (col_px, 1), 0)
         cpy = ((cpix_i // col_w).astype(jnp.float32)
                + jnp.float32(t * tile_h) + 0.5)
@@ -212,21 +212,28 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
             else:
                 pl.when(bn > k * _SEG)(lambda d=segs[k]: d.wait())
 
-        # ---- phase 1: per-column slab evals predicated on the SLAB BITMASK
-        # (one int32 bit per 2-chunk slab of the union window, exact at slab
-        # granularity — a contiguous per-column span cannot skip the gap
-        # between y-bins and measured ~2.2x more candidate-pixel pairs).
-        # Immediate per-slab reduction into the column's (col_px, 1) best: a
-        # deferred per-lane carry in VMEM scratch was measured 4x SLOWER
-        # (VMEM carry round-trips dwarfed the reductions it saved).
+        # ---- phase 1: per-column per-CHUNK evals predicated on the EXACT
+        # chunk bitmask (bit i of word w = chunk 32w+i of the union window
+        # hits this column — the only granularity that prunes: exact masks
+        # at 4-chunk slabs measured x0.99, per-chunk x2.04-3.2 fewer pairs).
+        # Each live chunk merges LANE-WISE into the column's (col_px, 128)
+        # (z, id) accumulators — elementwise compare/selects only — and the
+        # cross-lane reduction runs ONCE per column at the end. (The round-2
+        # "deferred carry 4x slower" verdict was for (band_px, 1024) carries
+        # whose round-trips dwarfed 8 saved reductions; here the carry is
+        # 8x smaller and replaces a reduction PER SLAB with one per column.)
+        # Lexicographic (z, id) min is associative, so any merge order
+        # reproduces the oracle's lowest-face-id tie rule exactly.
         for c in range(n_cols) if "eval" not in abl else []:
             cpx = (cpix_i % col_w).astype(jnp.float32) + (c * col_w + 0.5)
             sl = slice(c * col_px, (c + 1) * col_px)
+            scr_az[...] = jnp.full((col_px, _CHUNK), jnp.inf, jnp.float32)
+            scr_ai[...] = jnp.full((col_px, _CHUNK), 3e38, jnp.float32)
 
-            for s in range(_WINDOW // _ESLAB):
-                def slab(s=s):
+            for k in range(_WINDOW):
+                def chunk_eval(k=k):
                     cf = lambda f: scr_s[f:f + 1,
-                                         s * es_lanes:(s + 1) * es_lanes]
+                                         k * _CHUNK:(k + 1) * _CHUNK]
                     qx = cpx - cf(9)
                     qy = cpy - cf(10)
                     e0 = cf(0) * qx + cf(1) * qy + cf(2)
@@ -234,17 +241,26 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
                     ez = cf(6) * qx + cf(7) * qy + cf(8)
                     cov = (e0 >= 0.0) & (e1 >= 0.0) & (e0 + e1 <= 1.0)
                     zm = jnp.where(cov, ez, jnp.inf)
-                    zmin = jnp.min(zm, axis=1, keepdims=True)   # (col_px, 1)
-                    idw = jnp.min(jnp.where(zm == zmin, cf(12), 3e38),
-                                  axis=1, keepdims=True)
-                    zb = scr_zb[sl]
-                    pb = scr_pb[sl]
-                    better = (zmin < zb) | ((zmin == zb) & (idw < pb)
-                                            & (zmin < 3e37))
-                    scr_zb[sl] = jnp.where(better, zmin, zb)
-                    scr_pb[sl] = jnp.where(better, idw, pb)
+                    az = scr_az[...]
+                    ai = scr_ai[...]
+                    # uncovered lanes (zm = az = inf) may adopt a bogus id;
+                    # harmless — the final zmin < 3e37 guard masks them
+                    better = (zm < az) | ((zm == az) & (cf(12) < ai))
+                    scr_az[...] = jnp.where(better, zm, az)
+                    scr_ai[...] = jnp.where(better,
+                                            jnp.broadcast_to(cf(12),
+                                                             az.shape), ai)
 
-                pl.when(((cmask[c] >> s) & 1) != 0)(slab)
+                pl.when(((cmask[c][k // 32] >> (k % 32)) & 1) != 0)(
+                    chunk_eval)
+
+            az = scr_az[...]
+            ai = scr_ai[...]
+            zmin = jnp.min(az, axis=1, keepdims=True)       # (col_px, 1)
+            idw = jnp.min(jnp.where(az == zmin, ai, 3e38),
+                          axis=1, keepdims=True)
+            scr_zb[sl] = zmin
+            scr_pb[sl] = jnp.where(zmin < 3e37, idw, -1.0)
 
         # fallback beyond the window (spatially incoherent face order):
         # sequential window DMA + per-chunk narrow band-wide evals, scalar
@@ -340,15 +356,17 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         # SLOWER (137.8 vs 129 ms/128 at 224px): 8x more, 8x smaller
         # (col_px, 512) dots lose more to per-dot fixed costs (idl/onehot
         # setup, sub-128 M tiles, acc round-trips) than the pruned pairs buy
-        umask = functools.reduce(lambda a, b: a | b, cmask)
+        umask = [functools.reduce(lambda a, b: a | b,
+                                  [cmask[c][w] for c in range(n_cols)])
+                 for w in range(_MWORDS)]
         sup_lanes = _BGRP * _CHUNK
-        ratio = _BGRP // _ESLAB
-        rmask = (1 << ratio) - 1
+        rmask = (1 << _BGRP) - 1
         for s in range(_WINDOW // _BGRP) if "sel" not in abl else []:
             def ssel(s=s):
                 sel_block(scr_r[:, s * sup_lanes:(s + 1) * sup_lanes])
 
-            pl.when(((umask >> (ratio * s)) & rmask) != 0)(ssel)
+            pl.when(((umask[(s * _BGRP) // 32] >> ((s * _BGRP) % 32))
+                     & rmask) != 0)(ssel)
 
         @pl.when(needs if "sel" not in abl else (bn < -1))
         def _():
@@ -546,22 +564,23 @@ def _band_windows(verts_ndc, row_faces, row_id, height, width, tile_h,
     (y-bin, x)-sorted, chunk-aligned-per-bin face permutation built from
     the mean shape — utils/bfm.raster_row_order; identity for plain
     `faces`). Returns the per-band UNION windows (blo, bn) (B, n_bands)
-    (the DMA span, also the backward's), the per-(band, column) slab
-    BITMASKS (B, n_bands * n_cols) int32 flattened for scalar prefetch
-    (bit s = any hit in the union window's s-th _ESLAB-chunk slab), and
-    the padded flat setup array whose field 12 carries the ORIGINAL face
-    id (f32-exact): the kernel's z-test ties and the select one-hot key
-    on the id value, so any row order — however padded or shuffled —
-    reproduces the oracle's lowest-face-id rule exactly."""
+    (the DMA span, also the backward's), the per-(band, column) EXACT
+    per-chunk BITMASKS (B, n_bands * n_cols * _MWORDS) int32 flattened
+    for scalar prefetch (bit i of word w = the union window's chunk
+    32w+i hits the column), and the padded flat setup array whose field
+    12 carries the ORIGINAL face id (f32-exact): the kernel's z-test
+    ties and the select one-hot key on the id value, so any row order —
+    however padded or shuffled — reproduces the oracle's lowest-face-id
+    rule exactly."""
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols)
     setup = bin_triangles_static_t(verts_ndc, row_faces, height, width,
                                    tile_h, _CHUNK, cull_backfaces,
-                                   tile_w=tile_w, slab_chunks=_ESLAB)
+                                   tile_w=tile_w, mask_words=_MWORDS)
     f = setup.coeffs_t[0].shape[1]
     blo = setup.band_lo.astype(jnp.int32)        # (B, n_bands)
     bn = setup.n_chunks.astype(jnp.int32)
-    cmask = setup.slab_mask.astype(jnp.int32)    # (B, n_bands, n_cols)
+    cmask = setup.chunk_mask                # (B, n_bands, n_cols, _MWORDS)
 
     rows = padded_rows(f)
     # field-major assembly [setup 12 | id 1 | pad 3] in ONE stack: each
@@ -654,6 +673,8 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
                 pltpu.VMEM((_ROW_PAD, _WINDOW * _CHUNK), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
+                pltpu.VMEM((col_px, _CHUNK), jnp.float32),
+                pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((_WINDOW // _SEG,)),
             ],
             out_specs=[
@@ -730,6 +751,8 @@ def _fused_impl(records, verts_ndc, row_faces, row_id, *, n_faces: int,
                 pltpu.VMEM((_RFIELDS, _WINDOW * _CHUNK), jnp.bfloat16),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
+                pltpu.VMEM((col_px, _CHUNK), jnp.float32),
+                pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.VMEM((band_px, _RFIELDS), jnp.float32),
                 pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
             ],
@@ -831,6 +854,8 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
                 pltpu.VMEM((_RFIELDS, _WINDOW * _CHUNK), jnp.bfloat16),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
+                pltpu.VMEM((col_px, _CHUNK), jnp.float32),
+                pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.VMEM((_RFIELDS, band_px), jnp.float32),
                 pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
             ],
