@@ -55,8 +55,14 @@ def main():
                                  RP.padded_rows(rows.shape[0])), rid)
         return clo, cn, cmask, coeffs, rec_t
 
+    # FLOOR_MASK=ones: saturate the chunk masks (every window chunk
+    # evaluates) to separate per-chunk eval cost from fixed per-region
+    # scalar-check cost: fixed = (t_ones - t_real) / (64 - live_mean)
+    # extrapolated, values garbage (stale lanes), timing valid.
     clo, cn, cmask, setup_t, rec_t = jax.block_until_ready(
         produce(geom.verts_ndc, rad))
+    if os.environ.get("FLOOR_MASK") == "ones":
+        cmask = jnp.full_like(cmask, -1)
     print("inputs ready", setup_t.shape, rec_t.shape, flush=True)
 
     bsz = batch
@@ -81,6 +87,10 @@ def main():
                                jnp.bfloat16),
                     pltpu.VMEM((band_px, 1), jnp.float32),
                     pltpu.VMEM((band_px, 1), jnp.float32),
+                    pltpu.VMEM((tile_h * (tile_w // n_cols), RP._CHUNK),
+                               jnp.float32),
+                    pltpu.VMEM((tile_h * (tile_w // n_cols), RP._CHUNK),
+                               jnp.float32),
                     pltpu.VMEM((band_px, RP._RFIELDS), jnp.float32),
                     pltpu.SemaphoreType.DMA((2 * (RP._WINDOW // RP._SEG),)),
                 ],

@@ -126,9 +126,38 @@ def main():
             row_id=row_id)
         return jnp.mean(color) + jnp.mean(bary)
 
+    def f_pack24(vndc, records, seed):
+        # records24 materialized (sum forces it; ~1 ms reduction cost)
+        r = _pack_render_records(
+            vndc * (1.0 + seed * 1e-30), radiance_g, row_faces, size,
+            size, RP.padded_rows(row_faces.shape[0]))
+        return jnp.sum(r)
+
+    def f_split(vndc, records, seed):
+        rt = RP._split_records(records * (1.0 + seed * 1e-30), row_id)
+        return jnp.sum(rt.astype(jnp.float32))
+
+    def f_windows(vndc, records, seed):
+        (blo, _), cmask, coeffs = RP._band_windows(
+            vndc * (1.0 + seed), row_faces, row_id, size, size, tile_h,
+            n_cols, False)
+        return (jnp.sum(blo).astype(jnp.float32)
+                + jnp.sum(cmask).astype(jnp.float32) + jnp.sum(coeffs))
+
+    @jax.jit
+    def rad_only(cv):
+        c = split_coeff(cv, cfg)
+        geom = coeffs_to_geometry(c, bfm, cfg)
+        return sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
+
+    radiance_g = rad_only(cv)
+
     only = os.environ.get("ONLY")
     probes = {"prep": ("prep(geom+pack)", f_prep),
               "bin": ("bin+layouts   ", f_bin),
+              "pack24": ("pack24 (sum)  ", f_pack24),
+              "split": ("split48 (sum) ", f_split),
+              "windows": ("windows (sum) ", f_windows),
               "pos": ("pos-only kernel", f_pos),
               "kernel": ("fused kernel  ", f_kernel),
               "shade": ("kernel+shade  ", f_shade),

@@ -80,6 +80,13 @@ _MWORDS = 2             # int32 chunk-mask words per (band, col): exact
                         # poses (benchmarks/pair_stats.py)
 _BGRP = 8               # chunks per backward group (1024 lanes)
 _GLANES = _BGRP * _CHUNK  # super / backward group lane width
+_SELGRP = 16            # chunks per phase-2 select dot (2048 lanes):
+                        # fewer, larger one-hot dots pipeline better on
+                        # the MXU AND round the live span up less
+                        # (ceil(13.7/16) = 1 group vs ceil(13.7/8) = 2 at
+                        # 224px frontal); per-column (512-lane) selects
+                        # were the measured opposite extreme (137.8 vs
+                        # 129 ms/128 — per-dot fixed costs dominate)
 _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
 _FIELDS = 24            # caller-facing render-attribute record width
 _RFIELDS = 48           # pre-split select record width (see _split_records)
@@ -224,14 +231,21 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         # 8x smaller and replaces a reduction PER SLAB with one per column.)
         # Lexicographic (z, id) min is associative, so any merge order
         # reproduces the oracle's lowest-face-id tie rule exactly.
+        # Scalar-core cost is the critical path here: flat per-chunk
+        # checks measured 615 ns fixed per (band, col) — larger than the
+        # 5.5 live chunks' vector work (454 ns). HIERARCHICAL gating
+        # (column any-bit -> mask word -> byte -> bit) skips dead ranges
+        # in O(1): dead columns (35% at 224px/4cols) cost one check.
         for c in range(n_cols) if "eval" not in abl else []:
             cpx = (cpix_i % col_w).astype(jnp.float32) + (c * col_w + 0.5)
             sl = slice(c * col_px, (c + 1) * col_px)
-            scr_az[...] = jnp.full((col_px, _CHUNK), jnp.inf, jnp.float32)
-            scr_ai[...] = jnp.full((col_px, _CHUNK), 3e38, jnp.float32)
 
-            for k in range(_WINDOW):
-                def chunk_eval(k=k):
+            def column(c=c, cpx=cpx, sl=sl):
+                scr_az[...] = jnp.full((col_px, _CHUNK), jnp.inf,
+                                       jnp.float32)
+                scr_ai[...] = jnp.full((col_px, _CHUNK), 3e38, jnp.float32)
+
+                def chunk_eval(k):
                     cf = lambda f: scr_s[f:f + 1,
                                          k * _CHUNK:(k + 1) * _CHUNK]
                     qx = cpx - cf(9)
@@ -243,24 +257,42 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
                     zm = jnp.where(cov, ez, jnp.inf)
                     az = scr_az[...]
                     ai = scr_ai[...]
-                    # uncovered lanes (zm = az = inf) may adopt a bogus id;
-                    # harmless — the final zmin < 3e37 guard masks them
+                    # uncovered lanes (zm = az = inf) may adopt a bogus
+                    # id; harmless — the final zmin < 3e37 guard masks
+                    # them
                     better = (zm < az) | ((zm == az) & (cf(12) < ai))
                     scr_az[...] = jnp.where(better, zm, az)
                     scr_ai[...] = jnp.where(better,
                                             jnp.broadcast_to(cf(12),
                                                              az.shape), ai)
 
-                pl.when(((cmask[c][k // 32] >> (k % 32)) & 1) != 0)(
-                    chunk_eval)
+                for w in range(_MWORDS):
+                    def word_grp(w=w):
+                        for kb in range(4):
+                            def byte_grp(w=w, kb=kb):
+                                for i in range(8):
+                                    k = w * 32 + kb * 8 + i
+                                    pl.when(((cmask[c][w]
+                                              >> (kb * 8 + i)) & 1) != 0)(
+                                        lambda k=k: chunk_eval(k))
 
-            az = scr_az[...]
-            ai = scr_ai[...]
-            zmin = jnp.min(az, axis=1, keepdims=True)       # (col_px, 1)
-            idw = jnp.min(jnp.where(az == zmin, ai, 3e38),
-                          axis=1, keepdims=True)
-            scr_zb[sl] = zmin
-            scr_pb[sl] = jnp.where(zmin < 3e37, idw, -1.0)
+                            pl.when(((cmask[c][w] >> (kb * 8)) & 255)
+                                    != 0)(byte_grp)
+
+                    pl.when(cmask[c][w] != 0)(word_grp)
+
+                az = scr_az[...]
+                ai = scr_ai[...]
+                zmin = jnp.min(az, axis=1, keepdims=True)   # (col_px, 1)
+                idw = jnp.min(jnp.where(az == zmin, ai, 3e38),
+                              axis=1, keepdims=True)
+                scr_zb[sl] = zmin
+                scr_pb[sl] = jnp.where(zmin < 3e37, idw, -1.0)
+
+            # dead column: the band-wide inf/-1 init already holds
+            pl.when((cmask[c][0] | cmask[c][1] if _MWORDS == 2
+                     else functools.reduce(lambda a, b: a | b, cmask[c]))
+                    != 0)(column)
 
         # fallback beyond the window (spatially incoherent face order):
         # sequential window DMA + per-chunk narrow band-wide evals, scalar
@@ -359,13 +391,13 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         umask = [functools.reduce(lambda a, b: a | b,
                                   [cmask[c][w] for c in range(n_cols)])
                  for w in range(_MWORDS)]
-        sup_lanes = _BGRP * _CHUNK
-        rmask = (1 << _BGRP) - 1
-        for s in range(_WINDOW // _BGRP) if "sel" not in abl else []:
+        sup_lanes = _SELGRP * _CHUNK
+        rmask = (1 << _SELGRP) - 1
+        for s in range(_WINDOW // _SELGRP) if "sel" not in abl else []:
             def ssel(s=s):
                 sel_block(scr_r[:, s * sup_lanes:(s + 1) * sup_lanes])
 
-            pl.when(((umask[(s * _BGRP) // 32] >> ((s * _BGRP) % 32))
+            pl.when(((umask[(s * _SELGRP) // 32] >> ((s * _SELGRP) % 32))
                      & rmask) != 0)(ssel)
 
         @pl.when(needs if "sel" not in abl else (bn < -1))
