@@ -91,17 +91,17 @@ def main():
                                jnp.float32),
                     pltpu.VMEM((tile_h * (tile_w // n_cols), RP._CHUNK),
                                jnp.float32),
-                    pltpu.VMEM((band_px, RP._RFIELDS), jnp.float32),
+                    pltpu.VMEM((RP._RFIELDS, band_px), jnp.float32),
                     pltpu.SemaphoreType.DMA((2 * (RP._WINDOW // RP._SEG),)),
                 ],
                 out_specs=[
-                    pl.BlockSpec((1, 1, band_px, RP._OUT_F),
+                    pl.BlockSpec((1, 1, RP._RFIELDS, band_px),
                                  lambda b, t, *_: (b, t, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((bsz, n_bands, band_px, RP._OUT_F),
+                jax.ShapeDtypeStruct((bsz, n_bands, RP._RFIELDS, band_px),
                                      jnp.bfloat16),
             ],
         )(clo, cn, cm, st, rt)[0]

@@ -93,7 +93,8 @@ def main():
                 + rt[0, 0, 0].astype(jnp.float32))
 
     def f_kernel(vndc, records, seed):
-        out = RP._fused_impl(records, vndc * (1.0 + seed * 1e-30),
+        rec_t = RP._split_records(records, row_id)
+        out = RP._fused_impl(rec_t, vndc * (1.0 + seed * 1e-30),
                              row_faces, row_id, n_faces=n_faces,
                              height=h, width=w, tile_h=tile_h,
                              n_cols=n_cols)
@@ -108,7 +109,7 @@ def main():
         return jnp.sum(zb[:, ::64, ::64]) + pos[0, 0, 0].astype(jnp.float32)
 
     def f_shade(vndc, records, seed):
-        pos, sel, zb = RP.rasterize_select(
+        pos, sel = RP.rasterize_select(
             records * (1.0 + seed * 1e-30), vndc, bfm.faces, h, w, tile_h,
             n_cols=n_cols, row_faces=row_faces, row_id=row_id)
         color, bary = _shade_from_sel(pos, sel, h, w)

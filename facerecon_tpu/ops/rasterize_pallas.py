@@ -90,7 +90,6 @@ _SELGRP = 16            # chunks per phase-2 select dot (2048 lanes):
 _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
 _FIELDS = 24            # caller-facing render-attribute record width
 _RFIELDS = 48           # pre-split select record width (see _split_records)
-_OUT_F = 56             # packed bf16 output row: sel 48 | pos 3 | z 2 | pad
 _OUT_S = 16             # shade-mode output rows: rgb hi/lo 6 | w0/w1
                         # hi/lo 4 | pos bytes 3 | pad (the select record
                         # never leaves VMEM; ~3.5x less HBM written)
@@ -336,12 +335,11 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
 
             jax.lax.fori_loop(1, n_win, win_body, 0)
 
-        zbuf = scr_zb[...]
         posbest = scr_pb[...]                    # -1.0 where never covered
 
         if not with_select:
             pos_ref[0, tb] = posbest.astype(jnp.int32)
-            z_ref[0, tb] = zbuf
+            z_ref[0, tb] = scr_zb[...]
             return
 
         # ---- phase 2: one-hot MXU select of the winner's render record ----
@@ -357,14 +355,15 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
             else:
                 pl.when(bn > k * _SEG)(lambda d=rsegs[k]: d.wait())
 
-        # select-mode acc is pixel-major (band_px, 48) — the output row layout;
-        # shade-mode acc is TRANSPOSED (48, band_px) so the shade math runs on
-        # full-lane-width rows (column-form (band_px, 1) shade ops used 1 of
-        # 128 lanes and measured slower than the select path it replaced)
-        if mode == "shade":
-            scr_acc[...] = jnp.zeros((_RFIELDS, band_px), jnp.float32)
-        else:
-            scr_acc[...] = jnp.zeros((band_px, _RFIELDS), jnp.float32)
+        # the select acc is TRANSPOSED (48, band_px) in BOTH modes: the
+        # packed output leaves the kernel field-major, so the caller's
+        # relayout keeps the pixel axis minor (a (0,2,1,3) transpose,
+        # minor dim untouched) instead of moving the 56-field axis off
+        # the lanes — the old pixel-major select output cost ~20 ms/128
+        # in transpose+decode at 224px. The winner's id bytes arrive in
+        # row form through the select itself (record fields 42:45), so
+        # no (band_px, 1) -> (1, band_px) relayout is ever needed.
+        scr_acc[...] = jnp.zeros((_RFIELDS, band_px), jnp.float32)
         posu_f = posbest + 1.0                   # 0 = background, f32-exact
 
         def sel_block(rec, pos_col=None, sl=slice(None)):
@@ -373,14 +372,9 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
                    + rec[44:45].astype(jnp.float32) * 65536.0)
             onehot = ((posu_f if pos_col is None else pos_col)
                       == idl).astype(jnp.bfloat16)
-            if mode == "shade":
-                scr_acc[:, sl] = scr_acc[:, sl] + jax.lax.dot_general(
-                    rec, onehot, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            else:
-                scr_acc[sl] = scr_acc[sl] + jax.lax.dot_general(
-                    onehot, rec, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            scr_acc[:, sl] = scr_acc[:, sl] + jax.lax.dot_general(
+                rec, onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         # band-union select slabs (1024 lanes), predicated on the OR of the
         # column masks: a dead mid-window slab is skipped (the old `bn >`
@@ -467,21 +461,13 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
                  jnp.zeros((_OUT_S - 13, band_px), jnp.bfloat16)], axis=0)
             return
 
-        # ONE packed bf16 output row per pixel: separate narrow outputs pad
-        # their minor dim to 128 lanes in the tiled HBM layout (a (.., 1) f32
-        # plane costs 128x its size). All sel values are exact bf16 by
-        # construction; pos packs into 3 byte-valued fields, z into a bf16
-        # hi/lo pair.
-        posu = posbest.astype(jnp.int32) + 1     # 0 = background, face id + 1
-        p0 = (posu & 255).astype(jnp.bfloat16)
-        p1 = ((posu >> 8) & 255).astype(jnp.bfloat16)
-        p2 = (posu >> 16).astype(jnp.bfloat16)
-        zsafe = jnp.where(posu > 0, zbuf, 0.0)
-        zhi, zlo = _split2(zsafe)
-        packed_ref[0, tb] = jnp.concatenate(
-            [scr_acc[...].astype(jnp.bfloat16), p0, p1, p2, zhi, zlo,
-             jnp.zeros((band_px, _OUT_F - _RFIELDS - 5), jnp.bfloat16)],
-            axis=1)
+        # field-major (48, band_px) bf16 rows: every selected field is a
+        # single pre-split record part, so the cast is exact; the winner
+        # id bytes (rows 42:45) and raster-row bytes (45:48) ride the
+        # select itself — no pixel-major pack, no separate pos/z planes
+        # (a (.., 1) f32 plane pads 128x in tiled HBM; z has no training
+        # consumer and rasterize_batch keeps the §9.5 zbuf contract).
+        packed_ref[0, tb] = scr_acc[...].astype(jnp.bfloat16)
 
 
     for tb in range(bpp):
@@ -739,14 +725,16 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
     jax.jit,
     static_argnames=("n_faces", "height", "width", "tile_h", "n_cols",
                      "cull_backfaces"))
-def _fused_impl(records, verts_ndc, row_faces, row_id, *, n_faces: int,
+def _fused_impl(rec_t, verts_ndc, row_faces, row_id, *, n_faces: int,
                 height: int, width: int, tile_h: int, n_cols: int,
                 cull_backfaces: bool = False):
-    """Forward of the fused raster+select: records (B,rows,24)
-    differentiable render attributes in raster row order
-    (rows = padded_rows(F')), verts_ndc non-differentiable positions ->
+    """Forward of the fused raster+select: rec_t (B,48,rows) PRE-SPLIT
+    bf16 kernel records in raster row order (rows = padded_rows(F');
+    _split_records layout), verts_ndc non-differentiable positions ->
     (tri_id (B,H,W) original face ids, sel (B,48,H,W) pre-split winner
-    record, zbuf (B,H,W), band union windows)."""
+    record, band union windows). No zbuf: depth has no gradient and no
+    training consumer (§9.6); rasterize_batch serves the §9.5 zbuf
+    contract."""
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
@@ -765,7 +753,6 @@ def _fused_impl(records, verts_ndc, row_faces, row_id, *, n_faces: int,
     # lands all its chunks side-by-side on lanes so slabs read static
     # lane slices
     setup_t = coeffs                   # already (B, 16 fields, rows)
-    rec_t = _split_records(records, row_id)
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
@@ -785,46 +772,40 @@ def _fused_impl(records, verts_ndc, row_faces, row_id, *, n_faces: int,
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
-                pltpu.VMEM((band_px, _RFIELDS), jnp.float32),
+                pltpu.VMEM((_RFIELDS, band_px), jnp.float32),
                 pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
             ],
             out_specs=[
-                pl.BlockSpec((1, bpp, band_px, _OUT_F),
+                pl.BlockSpec((1, bpp, _RFIELDS, band_px),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, n_bands, band_px, _OUT_F),
+            jax.ShapeDtypeStruct((bsz, n_bands, _RFIELDS, band_px),
                                  jnp.bfloat16),
         ],
         interpret=_interpret(),
     )(blo, bn, cmask, setup_t, rec_t)[0]
 
-    # ONE transpose to field-major (B, F, H, W): per-field slices of a
-    # feature-minor array materialize (B,H,W,1)-shaped temps whose minor
-    # dim pads 128x in the TPU tiled layout (4 GB apiece at 512x512);
-    # field-major slices keep W minor and pad nothing
-    packed = jnp.transpose(packed, (0, 3, 1, 2))
-    packed = _unband(packed.reshape(bsz, _OUT_F, n_bands * band_px),
+    # field-major relayout keeps the pixel axis minor throughout (the
+    # (0,2,1,3) transpose moves whole rows; the old pixel-major output's
+    # (0,3,1,2) moved the 56-field axis off the lanes — ~20 ms/128)
+    packed = jnp.transpose(packed, (0, 2, 1, 3))
+    packed = _unband(packed.reshape(bsz, _RFIELDS, n_bands * band_px),
                      bsz, n_bands, tile_h, tile_w, n_cols, height, width,
-                     fields=_OUT_F)
-    pos = (packed[:, 48].astype(jnp.int32)
-           + packed[:, 49].astype(jnp.int32) * 256
-           + packed[:, 50].astype(jnp.int32) * 65536) - 1
-    zbuf = (packed[:, 51].astype(jnp.float32)
-            + packed[:, 52].astype(jnp.float32))
-    # background pixels already selected the zero record in-kernel (their
-    # one-hot key 0 matches only all-zero pad records), so sel needs no
-    # mask
+                     fields=_RFIELDS)
+    prec = packed.astype(jnp.float32)
+    # winner id + 1 rides the selected record's byte fields (42:45);
+    # 0 = background (the zero record — its one-hot key matches nothing)
+    pos = (prec[:, 42] + prec[:, 43] * 256.0
+           + prec[:, 44] * 65536.0).astype(jnp.int32) - 1
     hit = (pos >= 0) & (pos < n_faces)
     pos = jnp.where(hit, pos, -1)
-    prec = packed[:, :_RFIELDS].astype(jnp.float32)
-    zbuf = jnp.where(hit, zbuf, jnp.inf)
     # (blo, bn) ride along for the VJP residuals: re-binning in _rs_fwd
     # would redo full triangle setup per training forward (nothing
     # guarantees CSE across the custom_vjp boundary)
-    return pos, prec, zbuf, blo, bn
+    return pos, prec, blo, bn
 
 
 @functools.partial(
@@ -853,6 +834,11 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
     verts_ndc = jax.lax.stop_gradient(verts_ndc)
     if row_faces is None:
         row_faces, row_id = _identity_rows(faces)
+    # accept either the 24-field attribute record (legacy; split here)
+    # or the 48-field pre-split kernel record (ops/render builds it
+    # directly from the shared field blocks — one materialization)
+    rec_t = (records if records.shape[1] == _RFIELDS
+             else _split_records(records, row_id))
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
@@ -868,7 +854,6 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
         verts_ndc, row_faces, row_id, height, width, tile_h, n_cols,
         cull_backfaces)
     setup_t = coeffs                   # already (B, 16 fields, rows)
-    rec_t = _split_records(records, row_id)
 
     packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
@@ -930,42 +915,53 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
 
 def rasterize_select(records, verts_ndc, faces, height: int, width: int,
                      tile_h: int, cull_backfaces: bool = False,
-                     n_cols: int = 1, row_faces=None, row_id=None):
+                     n_cols: int = 1, row_faces=None, row_id=None,
+                     rec48=None):
     """Fused hard-visibility + per-pixel record select (the TPU render hot
-    path): records (B, padded_rows(F'), 24) render attributes [radiance
+    path): records (B, 24, padded_rows(F')) render attributes [radiance
     corners 9 | affine w-coeffs 6 | anchor 2 | pad] in raster row order ->
-    (tri_id, sel (B,48,H,W), zbuf),
+    (tri_id, sel (B,48,H,W)),
     where sel is the winner's pre-split record, FIELD-MAJOR so per-field
     reads slice on the W-minor axis (_split_records layout; ops/render.py
-    reconstructs radiance/barycentrics/corners from it).
+    reconstructs radiance/barycentrics/corners from it). No zbuf: depth
+    carries no gradient (§9.6) and the §9.5 (tri_id, bary, zbuf) contract
+    is rasterize_batch's.
 
     Differentiable in `records` only (SURVEY.md §9.6: tri_id frozen).
     The backward is the matmul ADJOINT of the one-hot select, computed by
     a group-blocked Pallas kernel (_grad_kernel) instead of the reference
     family's scatter-add — TPU scatters run at ~element/cycle. In the
     hi/lo field decomposition x == hi + lo, hi is a staircase of x (zero
-    derivative a.e.), so the cotangent of x is the LO part's alone."""
+    derivative a.e.), so the cotangent of x is the LO part's alone.
+
+    rec48: optional precomputed (B,48,rows) bf16 pre-split kernel record
+    (ops/render._pack_split_records, built from the same field blocks as
+    `records`). The kernel DMAs ONLY rec48; `records` is the gradient
+    carrier — its stacked value is dead in the forward, so XLA DCEs the
+    24-field materialization and keeps just the autodiff residuals."""
     if row_faces is None:
         row_faces, row_id = _identity_rows(faces)
-    return _rs_core(records, verts_ndc, row_faces, row_id,
+    if rec48 is None:
+        rec48 = jax.lax.stop_gradient(_split_records(records, row_id))
+    return _rs_core(records, rec48, verts_ndc, row_faces, row_id,
                     faces.shape[0], height, width, tile_h, n_cols,
                     cull_backfaces)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _rs_core(records, verts_ndc, row_faces, row_id, n_faces: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _rs_core(records, rec48, verts_ndc, row_faces, row_id, n_faces: int,
              height: int, width: int, tile_h: int, n_cols: int,
              cull_backfaces: bool):
-    return _fused_impl(records, jax.lax.stop_gradient(verts_ndc),
+    return _fused_impl(rec48, jax.lax.stop_gradient(verts_ndc),
                        row_faces, row_id, n_faces=n_faces, height=height,
                        width=width, tile_h=tile_h, n_cols=n_cols,
-                       cull_backfaces=cull_backfaces)[:3]
+                       cull_backfaces=cull_backfaces)[:2]
 
 
-def _rs_fwd(records, verts_ndc, row_faces, row_id, n_faces, height, width,
-            tile_h, n_cols, cull_backfaces):
-    pos, prec, zbuf, blo, bn = _fused_impl(
-        records, jax.lax.stop_gradient(verts_ndc), row_faces, row_id,
+def _rs_fwd(records, rec48, verts_ndc, row_faces, row_id, n_faces, height,
+            width, tile_h, n_cols, cull_backfaces):
+    pos, prec, blo, bn = _fused_impl(
+        rec48, jax.lax.stop_gradient(verts_ndc), row_faces, row_id,
         n_faces=n_faces, height=height, width=width, tile_h=tile_h,
         n_cols=n_cols, cull_backfaces=cull_backfaces)
     # the winner's RASTER ROW rides the select in record fields 45:48
@@ -974,7 +970,7 @@ def _rs_fwd(records, verts_ndc, row_faces, row_id, n_faces, height, width,
     rowp = (prec[:, 45] + prec[:, 46] * 256.0
             + prec[:, 47] * 65536.0).astype(jnp.int32) - 1
     rowp = jnp.where(pos >= 0, rowp, -1)
-    return (pos, prec, zbuf), (rowp, records.shape, blo, bn)
+    return (pos, prec), (rowp, records.shape, blo, bn)
 
 
 def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, out_ref,
@@ -1150,14 +1146,14 @@ def _select_grad(pos, g_sel, blo, bn, *, rows: int, height: int,
 def _rs_bwd(n_faces, height, width, tile_h, n_cols, cull_backfaces, res,
             g):
     rowp, rec_shape, blo, bn = res
-    _, g_sel, _ = g                    # g_sel is field-major (B, 48, H, W)
+    _, g_sel = g                       # g_sel is field-major (B, 48, H, W)
     # hi split parts are staircases of the source value (zero derivative
     # a.e.), so only the LO fields carry the cotangent — _select_grad
     # gathers them and runs the matmul adjoint (no scatter)
     grad = _select_grad(rowp, g_sel, blo, bn, rows=rec_shape[2],
                         height=height, width=width, tile_h=tile_h,
                         n_cols=n_cols)
-    return grad, None, None, None
+    return grad, None, None, None, None
 
 
 _rs_core.defvjp(_rs_fwd, _rs_bwd)

@@ -84,27 +84,21 @@ def interpolate(tri_id, bary, faces, attrs):
     return jnp.where((tri_id >= 0)[..., None], out, 0.0)
 
 
-def _pack_render_records(verts_ndc, radiance, faces, height: int,
-                         width: int, pad_rows: int, corner_adj=None):
-    """Per-face differentiable render attributes, FIELD-MAJOR
-    (B, 24, pad_rows): [radiance corners 9 | anchored affine
-    w-coefficients 6 | anchor x0,y0 | pad 7].
+def _render_fields(verts_ndc, radiance, faces, height: int, width: int,
+                   corner_adj=None):
+    """Corner gather + anchored affine forms -> 17 (B, F) field blocks
+    [radiance corners r00..r22 (9, corner-major) | affine w-coefficients
+    wa0, wb0, wc0, wa1, wb1, wc1 | anchor x0, y0].
 
     The affine coefficients are computed HERE, from the differentiable
     vertex positions, with the same float ops as the rasterizer's setup
     (ops/binning.affine_forms) — so the per-pixel barycentrics
     reconstructed from the selected record equal the rasterizer's exactly
-    AND carry dL/dV_xy without any corner-recompute detour.
-
-    Layout is everything on TPU: the corner gather stays batch-major
-    (row gathers, ~6 ms/128 at 224px) but every derived field is a
-    (B, F) block stacked on axis 1 — the record materializes ONCE,
-    already field-major, with no B-to-rows transpose anywhere (one such
-    transpose of the assembled record measured ~15-25 ms/128 in padded
-    relayout traffic)."""
+    AND carry dL/dV_xy without any corner-recompute detour. The shared
+    producer of BOTH packs below, so the gather (~6 ms/128 at 224px)
+    never runs twice."""
     from facerecon_tpu.ops.binning import affine_forms
     screen = rasterize_jnp.ndc_to_screen(verts_ndc, height, width)  # (B,N,2)
-    b = radiance.shape[0]
     f = faces.shape[0]
     per_vert = jnp.concatenate([radiance, screen], axis=-1)   # (B, N, 5)
     idx = jnp.transpose(faces).reshape(-1)                    # corner-major
@@ -125,11 +119,74 @@ def _pack_render_records(verts_ndc, radiance, faces, height: int,
     p1 = jnp.stack([fld(1, 3), fld(1, 4)], axis=-1)
     p2 = jnp.stack([fld(2, 3), fld(2, 4)], axis=-1)
     wa0, wb0, wc0, wa1, wb1, wc1, _ = affine_forms(p0, p1, p2)
-    rows24 = ([fld(c, k) for c in range(3) for k in range(3)]  # radiance
-              + [wa0, wb0, wc0, wa1, wb1, wc1, fld(0, 3), fld(0, 4)]
-              + [jnp.zeros((b, f), radiance.dtype)] * 7)
+    rad = [fld(c, k) for c in range(3) for k in range(3)]      # radiance
+    return (*rad, wa0, wb0, wc0, wa1, wb1, wc1, fld(0, 3), fld(0, 4))
+
+
+def _stack24(fields, pad_rows: int):
+    """(B, 24, pad_rows) f32 attribute record from the field blocks:
+    [radiance 9 | w-coeffs 6 | anchor x0,y0 | pad 7] — the GRADIENT
+    CARRIER of the fused select (rasterize_select's custom VJP returns
+    d/d this layout). When a precomputed rec48 is passed alongside, the
+    kernel never reads this stack, so XLA dead-codes the materialization
+    and keeps only its autodiff residuals."""
+    b, f = fields[0].shape
+    rows24 = list(fields) + [jnp.zeros((b, f), fields[0].dtype)] * 7
     rec = jnp.stack(rows24, axis=1)                           # (B, 24, F)
     return jnp.pad(rec, ((0, 0), (0, 0), (0, pad_rows - f)))
+
+
+def _pack_render_records(verts_ndc, radiance, faces, height: int,
+                         width: int, pad_rows: int, corner_adj=None):
+    """Per-face differentiable render attributes, FIELD-MAJOR
+    (B, 24, pad_rows) — _render_fields + _stack24 (kept as the one-call
+    API for tests/probes).
+
+    Layout is everything on TPU: the corner gather stays batch-major
+    (row gathers) but every derived field is a (B, F) block stacked on
+    axis 1 — the record materializes ONCE, already field-major, with no
+    B-to-rows transpose anywhere (one such transpose of the assembled
+    record measured ~15-25 ms/128 in padded relayout traffic)."""
+    return _stack24(_render_fields(verts_ndc, radiance, faces, height,
+                                   width, corner_adj), pad_rows)
+
+
+def _pack_split_records(fields, row_id, pad_rows: int):
+    """(B, 48, pad_rows) bf16 PRE-SPLIT kernel record built directly
+    from the (B, F) field blocks — ONE materialization (the old
+    pack24 -> _split_records chain materialized the f32 24-stack just to
+    re-slice it; pack24 10 ms + split 8.5 ms at batch-128 @224).
+    Identical float ops and layout to
+    rasterize_pallas._split_records(_pack_render_records(...)): splits
+    commute with zero padding (split(0) = 0), and each part is exactly
+    bf16. NON-differentiable (bitcast truncations) — callers wrap in
+    stop_gradient and pass the _stack24 record as the gradient carrier."""
+    from facerecon_tpu.ops.rasterize_pallas import _split2, _split3
+    b, f = fields[0].shape
+    pad = pad_rows - f
+
+    def pd(a):
+        return jnp.pad(a, ((0, 0), (0, pad)))
+
+    rad_sp = [_split2(r) for r in fields[0:9]]        # [(hi, lo)] x 9
+    w_sp = [_split3(w) for w in fields[9:15]]         # [(p0,p1,p2)] x 6
+    x_sp = _split3(fields[15])
+    y_sp = _split3(fields[16])
+    parts = ([pd(h) for h, _ in rad_sp] + [pd(l) for _, l in rad_sp]
+             + [pd(w[0]) for w in w_sp] + [pd(w[1]) for w in w_sp]
+             + [pd(w[2]) for w in w_sp]
+             + [pd(p) for p in x_sp] + [pd(p) for p in y_sp])
+    # id / raster-row byte rows (static per asset; see _split_records:
+    # slack rows key to the unmatchable 0xFFFFFF sentinel, row bytes give
+    # the backward its one-hot key)
+    rid = jnp.full((pad_rows,), 0xFFFFFF,
+                   jnp.int32).at[:row_id.shape[0]].set(row_id + 1)
+    rowi = jnp.arange(pad_rows, dtype=jnp.int32) + 1
+    stat = [jnp.broadcast_to(a.astype(jnp.bfloat16)[None, :],
+                             (b, pad_rows))
+            for a in (rid & 255, (rid >> 8) & 255, rid >> 16,
+                      rowi & 255, (rowi >> 8) & 255, rowi >> 16)]
+    return jnp.stack(list(parts) + stat, axis=1)      # (B, 48, rows)
 
 
 def _shade_from_sel(tri_id, sel, height: int, width: int):
@@ -252,22 +309,28 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
         # Setup/records are laid out in the asset's static raster row
         # order (bfm.raster_rows: (y-bin, x)-sorted, chunk-aligned bins)
         # so the kernel's per-column candidate windows stay tight.
-        records = _pack_render_records(
-            geom.verts_ndc, radiance, bfm.raster_rows, h, w,
-            rasterize_pallas.padded_rows(bfm.raster_rows.shape[0]),
-            corner_adj=bfm.raster_corner_adj)
+        fields = _render_fields(geom.verts_ndc, radiance,
+                                bfm.raster_rows, h, w,
+                                corner_adj=bfm.raster_corner_adj)
+        pad_rows = rasterize_pallas.padded_rows(bfm.raster_rows.shape[0])
+        # the kernel's pre-split record, built in ONE materialization
+        # from the shared field blocks (non-differentiable bitcast
+        # splits — the _stack24 record below carries the gradient)
+        rec48 = jax.lax.stop_gradient(
+            _pack_split_records(fields, bfm.raster_row_id, pad_rows))
         if inference:
             # forward-only path: shading finishes inside the kernel and
             # only 16 fields/pixel reach HBM (no gradient support)
             tri_id, color, bary = rasterize_pallas.rasterize_shaded(
-                records, geom.verts_ndc, bfm.faces, height=h, width=w,
+                rec48, geom.verts_ndc, bfm.faces, height=h, width=w,
                 tile_h=cfg.tile_h, n_cols=cfg.raster_cols,
                 row_faces=bfm.raster_rows, row_id=bfm.raster_row_id)
         else:
-            tri_id, sel, _ = rasterize_pallas.rasterize_select(
+            records = _stack24(fields, pad_rows)
+            tri_id, sel = rasterize_pallas.rasterize_select(
                 records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h,
                 n_cols=cfg.raster_cols, row_faces=bfm.raster_rows,
-                row_id=bfm.raster_row_id)
+                row_id=bfm.raster_row_id, rec48=rec48)
             color, bary = _shade_from_sel(tri_id, sel, h, w)
     else:
         tri_id = rasterize_tiled.rasterize_batch(

@@ -111,7 +111,7 @@ def test_fused_select_matches_gather_path(cfg, assets, rng):
     records = _pack_render_records(
         geom.verts_ndc, radiance, bfm.faces, h, w,
         RP.padded_rows(bfm.faces.shape[0]))
-    tid, sel, _ = RP.rasterize_select(
+    tid, sel = RP.rasterize_select(
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
     color_f, bary_f = _shade_from_sel(tid, sel, h, w)
 
@@ -138,7 +138,7 @@ def test_fused_select_vjp_is_scatter_add(cfg, assets, rng):
     records = _pack_render_records(
         geom.verts_ndc, radiance, bfm.faces, h, w,
         RP.padded_rows(bfm.faces.shape[0]))
-    tid, sel, _ = RP.rasterize_select(
+    tid, sel = RP.rasterize_select(
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
     local = np.random.default_rng(5)
     g17 = jnp.asarray(local.standard_normal(
@@ -179,7 +179,7 @@ def test_shaded_matches_select_path(cfg, assets, rng):
     records = _pack_render_records(
         geom.verts_ndc, radiance, bfm.faces, h, w,
         RP.padded_rows(bfm.faces.shape[0]))
-    tid_s, sel, zb_s = RP.rasterize_select(
+    tid_s, sel = RP.rasterize_select(
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
     color_s, bary_s = _shade_from_sel(tid_s, sel, h, w)
 
@@ -207,7 +207,7 @@ def test_raster_row_order_and_columns_match_identity(cfg, assets, rng):
 
     rec_id = _pack_render_records(
         geom.verts_ndc, radiance, bfm.faces, h, w, RP.padded_rows(f))
-    tid0, sel0, zb0 = RP.rasterize_select(
+    tid0, sel0 = RP.rasterize_select(
         rec_id, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
 
     rows = bfm.raster_rows
@@ -216,7 +216,7 @@ def test_raster_row_order_and_columns_match_identity(cfg, assets, rng):
         geom.verts_ndc, radiance, rows, h, w,
         RP.padded_rows(rows.shape[0]))
     for n_cols in (1, 4):
-        tid, sel, zb = RP.rasterize_select(
+        tid, sel = RP.rasterize_select(
             rec_rows, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h,
             n_cols=n_cols, row_faces=rows, row_id=rid)
         assert np.array_equal(np.asarray(tid), np.asarray(tid0)), n_cols
@@ -225,7 +225,6 @@ def test_raster_row_order_and_columns_match_identity(cfg, assets, rng):
         # render-visible fields must be identical
         np.testing.assert_array_equal(np.asarray(sel)[:, :45],
                                       np.asarray(sel0)[:, :45])
-        np.testing.assert_array_equal(np.asarray(zb), np.asarray(zb0))
         # the row bytes decode to the PERMUTED winner row: row_id[row]
         # must equal the winner face id at every covered pixel
         rsel = np.asarray(sel)
@@ -238,12 +237,12 @@ def test_raster_row_order_and_columns_match_identity(cfg, assets, rng):
     # VJP: the row-order gradient is the identity gradient permuted to
     # rows (zero at bin-pad rows)
     def loss_id(r):
-        _, sel, _ = RP.rasterize_select(
+        _, sel = RP.rasterize_select(
             r, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
         return jnp.sum(sel[:, 9:18] ** 2)
 
     def loss_rows(r):
-        _, sel, _ = RP.rasterize_select(
+        _, sel = RP.rasterize_select(
             r, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h, n_cols=4,
             row_faces=rows, row_id=rid)
         return jnp.sum(sel[:, 9:18] ** 2)
@@ -297,3 +296,29 @@ def test_pack_gradient_finite_on_degenerate_triangle(cfg, assets):
 
     g = jax.grad(loss)(verts)
     assert bool(jnp.isfinite(g).all()), "NaN gradient on degenerate triangle"
+
+
+def test_pack_split_records_matches_split_of_pack24(cfg, assets, rng):
+    """The ONE-materialization pre-split pack (_pack_split_records,
+    built directly from the shared field blocks) must be BIT-IDENTICAL
+    to splitting the 24-field attribute record (splits commute with the
+    zero row padding; same float ops either way). This pins the fold
+    that lets XLA dead-code the 24-stack out of the training forward."""
+    from facerecon_tpu.ops.render import (_pack_render_records,
+                                          _pack_split_records,
+                                          _render_fields)
+    bfm, c, geom = _geom(cfg, assets, rng, batch=2)
+    h = w = cfg.image_size
+    radiance = sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
+    rows, rid = bfm.raster_rows, bfm.raster_row_id
+    pad_rows = RP.padded_rows(rows.shape[0])
+
+    rec24 = _pack_render_records(geom.verts_ndc, radiance, rows, h, w,
+                                 pad_rows,
+                                 corner_adj=bfm.raster_corner_adj)
+    ref = RP._split_records(rec24, rid)
+    fields = _render_fields(geom.verts_ndc, radiance, rows, h, w,
+                            corner_adj=bfm.raster_corner_adj)
+    got = _pack_split_records(fields, rid, pad_rows)
+    assert got.dtype == ref.dtype and got.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
