@@ -70,7 +70,43 @@ def main():
     n_bands = (size + tile_h - 1) // tile_h
     band_px = tile_h * tile_w
 
+    mode = os.environ.get("FLOOR_KMODE", "select")
+
+    def call_pos(clo, cn, cm, st, rt):
+        return pl.pallas_call(
+            functools.partial(RP._kernel, tile_h=tile_h, tile_w=tile_w,
+                              n_cols=n_cols, band_px=band_px,
+                              mode="pos"),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(bsz, n_bands),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                scratch_shapes=[
+                    pltpu.VMEM((RP._ROW_PAD, RP._WINDOW * RP._CHUNK),
+                               jnp.float32),
+                    pltpu.VMEM((band_px, 1), jnp.float32),
+                    pltpu.VMEM((band_px, 1), jnp.float32),
+                    pltpu.VMEM((tile_h * (tile_w // n_cols), RP._CHUNK),
+                               jnp.float32),
+                    pltpu.VMEM((tile_h * (tile_w // n_cols), RP._CHUNK),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((RP._WINDOW // RP._SEG,)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, RP._OUT_P, band_px),
+                                 lambda b, t, *_: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bsz, n_bands, RP._OUT_P, band_px),
+                                     jnp.bfloat16),
+            ],
+        )(clo, cn, cm, st)[0]
+
     def call(clo, cn, cm, st, rt):
+        if mode == "pos":
+            return call_pos(clo, cn, cm, st, rt)
         return pl.pallas_call(
             functools.partial(RP._kernel, tile_h=tile_h, tile_w=tile_w,
                               n_cols=n_cols, band_px=band_px,

@@ -1,0 +1,140 @@
+"""Training-path backward attribution (TPU, device-true chained timing).
+
+Times value_and_grad of the render loss w.r.t. successively deeper
+leaves, isolating each backward stage by difference:
+
+  records : select adjoint + shade/photo backward only
+  radiance: + record-pack backward (corner-gather adjoint, affine chain)
+  coeffs  : + SH/normals/geometry backward
+  params  : + CNN backward + everything (the config-4 step minus Adam)
+
+  BATCH=128 CSCALE=0.3 python benchmarks/train_probe.py
+  ONLY=records,coeffs ... to subset
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from facerecon_tpu.config import default_config
+from facerecon_tpu.data.synthetic import sample_coeffs
+from facerecon_tpu.ops import rasterize_pallas as RP
+from facerecon_tpu.ops import sh as sh_ops
+from facerecon_tpu.ops.geometry import coeffs_to_geometry, device_bfm
+from facerecon_tpu.ops.losses import photometric_loss
+from facerecon_tpu.ops.render import (_pack_split_records,
+                                      _render_fields, _shade_from_sel,
+                                      _stack24, render_coeffs)
+from facerecon_tpu.utils.bfm import synthetic_bfm
+from facerecon_tpu.utils.coeffs import split_coeff
+
+
+def timed(tag, fn, *args, inner=4, reps=3):
+    @jax.jit
+    def chained(*a):
+        def body(carry, _):
+            s = fn(*a, seed=carry)
+            return s * 1e-30, s
+        _, ss = jax.lax.scan(body, jnp.float32(0), None, length=inner)
+        return jnp.sum(ss)
+
+    t0 = time.time()
+    _ = float(chained(*args))
+    print(f"{tag}: compile {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    for _ in range(reps):
+        out = chained(*args)
+    _ = float(out)
+    dt = (time.time() - t0) / (reps * inner)
+    b = int(os.environ.get("BATCH", "128"))
+    print(f"{tag}: {dt*1000:7.1f} ms/{b} -> {b/dt:7.0f} faces/s",
+          flush=True)
+
+
+def main():
+    size = int(os.environ.get("SIZE", "224"))
+    batch = int(os.environ.get("BATCH", "128"))
+    scale = float(os.environ.get("CSCALE", "0.3"))
+    cfg = default_config(image_size=size, focal=1015.0 * size / 224.0)
+    assets = synthetic_bfm(cfg, seed=0)
+    bfm = device_bfm(assets)
+    rng = np.random.default_rng(0)
+    cv = jnp.asarray(sample_coeffs(rng, cfg, batch, scale=scale))
+    target = jnp.asarray(rng.random((batch, size, size, 3)),
+                         dtype=jnp.float32)
+    h = w = size
+    rows, rid = bfm.raster_rows, bfm.raster_row_id
+    pad_rows = RP.padded_rows(rows.shape[0])
+
+    def render_loss_from_records(records, rec48, vndc, seed):
+        tid, sel = RP.rasterize_select(
+            records, vndc, bfm.faces, h, w, cfg.tile_h,
+            n_cols=cfg.raster_cols, row_faces=rows, row_id=rid,
+            rec48=rec48)
+        color, _ = _shade_from_sel(tid, sel, h, w)
+        mask = (tid >= 0).astype(jnp.float32)
+        img = color * mask[..., None] + target * (1 - mask[..., None])
+        return photometric_loss(img, target, mask)
+
+    @jax.jit
+    def prep(cv):
+        c = split_coeff(cv, cfg)
+        geom = coeffs_to_geometry(c, bfm, cfg)
+        radiance = sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
+        fields = _render_fields(geom.verts_ndc, radiance, rows, h, w,
+                                corner_adj=bfm.raster_corner_adj)
+        rec24 = _stack24(fields, pad_rows)
+        rec48 = _pack_split_records(fields, rid, pad_rows)
+        return rec24, rec48, geom.verts_ndc, radiance, geom
+
+    rec24, rec48, vndc, radiance, _ = jax.block_until_ready(prep(cv))
+
+    def g_records(cv_in, seed):
+        r = rec24 * (1.0 + seed * 1e-30)
+        g = jax.grad(
+            lambda rr: render_loss_from_records(rr, rec48, vndc, 0))(r)
+        return jnp.sum(g[:, 9:])     # skip the big radiance slice sum
+
+    def g_radiance(cv_in, seed):
+        def loss(rad):
+            fields = _render_fields(vndc, rad, rows, h, w,
+                                    corner_adj=bfm.raster_corner_adj)
+            r24 = _stack24(fields, pad_rows)
+            r48 = jax.lax.stop_gradient(
+                _pack_split_records(fields, rid, pad_rows))
+            return render_loss_from_records(r24, r48, vndc, 0)
+        g = jax.grad(loss)(radiance * (1.0 + seed * 1e-30))
+        return jnp.sum(g)
+
+    def g_coeffs(cv_in, seed):
+        def loss(c_vec):
+            out = render_coeffs(split_coeff(c_vec, cfg), bfm, cfg,
+                                background=target)
+            return photometric_loss(out.image, target, out.mask)
+        g = jax.grad(loss)(cv_in * (1.0 + seed * 1e-30))
+        return jnp.sum(g)
+
+    def f_fwd(cv_in, seed):
+        out = render_coeffs(split_coeff(cv_in * (1.0 + seed * 1e-30),
+                                        cfg), bfm, cfg, background=target)
+        return photometric_loss(out.image, target, out.mask)
+
+    only = os.environ.get("ONLY")
+    probes = {"fwd": ("fwd loss       ", f_fwd),
+              "records": ("grad@records   ", g_records),
+              "radiance": ("grad@radiance  ", g_radiance),
+              "coeffs": ("grad@coeffs    ", g_coeffs)}
+    for key, (tag, fn) in probes.items():
+        if only and key not in only.split(","):
+            continue
+        timed(tag, fn, cv)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,8 @@ _SELGRP = 16            # chunks per phase-2 select dot (2048 lanes):
 _ROW_PAD = 16           # setup record fields padded 12 -> 16 for tiling
 _FIELDS = 24            # caller-facing render-attribute record width
 _RFIELDS = 48           # pre-split select record width (see _split_records)
+_OUT_P = 8              # pos-mode output rows: pos+1 bytes 3 | z in 3
+                        # exact bf16 parts | pad 2
 _OUT_S = 16             # shade-mode output rows: rgb hi/lo 6 | w0/w1
                         # hi/lo 4 | pos bytes 3 | pad (the select record
                         # never leaves VMEM; ~3.5x less HBM written)
@@ -150,7 +152,7 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         (rec_hbm, packed_ref, scr_s, scr_r, scr_zb, scr_pb, scr_az,
          scr_ai, scr_acc, sem) = rest
     else:
-        pos_ref, z_ref, scr_s, scr_zb, scr_pb, scr_az, scr_ai, sem = rest
+        pos_ref, scr_s, scr_zb, scr_pb, scr_az, scr_ai, sem = rest
     b = pl.program_id(0)
     col_w = tile_w // n_cols
     col_px = tile_h * col_w
@@ -338,8 +340,21 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         posbest = scr_pb[...]                    # -1.0 where never covered
 
         if not with_select:
-            pos_ref[0, tb] = posbest.astype(jnp.int32)
-            z_ref[0, tb] = scr_zb[...]
+            # row-form packed output [pos+1 bytes 3 | z hi/lo 2 | pad 3]:
+            # separate (band_px, 1) column outputs pad their minor dim
+            # 128x in the tiled HBM layout — measured 1.42 s/128 at 224px
+            # for the pos-only kernel, ~18x the fused select. One
+            # (band_px, 1) -> (1, band_px) in-kernel relayout per band is
+            # far cheaper than 128x-padded writes.
+            posr = posbest.reshape(1, band_px)
+            zr = scr_zb[...].reshape(1, band_px)
+            posu = posr.astype(jnp.int32) + 1    # 0 = background
+            z0, z1, z2 = _split3(jnp.where(posu > 0, zr, 0.0))  # exact
+            pos_ref[0, tb] = jnp.concatenate(
+                [(posu & 255).astype(jnp.bfloat16),
+                 ((posu >> 8) & 255).astype(jnp.bfloat16),
+                 (posu >> 16).astype(jnp.bfloat16), z0, z1, z2,
+                 jnp.zeros((_OUT_P - 6, band_px), jnp.bfloat16)], axis=0)
             return
 
         # ---- phase 2: one-hot MXU select of the winner's render record ----
@@ -676,7 +691,7 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
         cull_backfaces)
     setup_t = coeffs                             # (B, 16 fields, rows)
 
-    pos, zbuf = pl.pallas_call(
+    packed = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
                           n_cols=n_cols, band_px=band_px, mode="pos",
                           bpp=bpp),
@@ -696,28 +711,30 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
                 pltpu.SemaphoreType.DMA((_WINDOW // _SEG,)),
             ],
             out_specs=[
-                pl.BlockSpec((1, bpp, band_px, 1),
-                             lambda b, t, *_: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bpp, band_px, 1),
+                pl.BlockSpec((1, bpp, _OUT_P, band_px),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, n_bands, band_px, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_bands, _OUT_P, band_px),
+                                 jnp.bfloat16),
         ],
         interpret=_interpret(),
-    )(blo, bn, cmask, setup_t)
+    )(blo, bn, cmask, setup_t)[0]
 
-    pos = _unband(pos, bsz, n_bands, tile_h, tile_w, n_cols, height,
-                  width)
-    zbuf = _unband(zbuf, bsz, n_bands, tile_h, tile_w, n_cols, height,
-                   width)
+    packed = jnp.transpose(packed, (0, 2, 1, 3))
+    packed = _unband(packed.reshape(bsz, _OUT_P, n_bands * band_px),
+                     bsz, n_bands, tile_h, tile_w, n_cols, height, width,
+                     fields=_OUT_P).astype(jnp.float32)
+    pos = (packed[:, 0] + packed[:, 1] * 256.0
+           + packed[:, 2] * 65536.0).astype(jnp.int32) - 1
+    zbuf = packed[:, 3] + packed[:, 4] + packed[:, 5]   # exact 3-part sum
     # ids beyond the live face count are dead padding (can never win —
     # but guard anyway); pos IS the face id in original order
-    pos = jnp.where(pos < faces.shape[0], pos, -1)
+    hit = (pos >= 0) & (pos < faces.shape[0])
+    pos = jnp.where(hit, pos, -1)
+    zbuf = jnp.where(hit, zbuf, jnp.inf)
     return pos, coeffs, zbuf, (blo, bn)
 
 
