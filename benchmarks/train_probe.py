@@ -72,15 +72,15 @@ def main():
     rows, rid = bfm.raster_rows, bfm.raster_row_id
     pad_rows = RP.padded_rows(rows.shape[0])
 
-    def render_loss_from_records(records, rec48, vndc, seed):
+    def render_loss_from_records(records, rec48, vndc, tgt):
         tid, sel = RP.rasterize_select(
             records, vndc, bfm.faces, h, w, cfg.tile_h,
             n_cols=cfg.raster_cols, row_faces=rows, row_id=rid,
             rec48=rec48)
         color, _ = _shade_from_sel(tid, sel, h, w)
         mask = (tid >= 0).astype(jnp.float32)
-        img = color * mask[..., None] + target * (1 - mask[..., None])
-        return photometric_loss(img, target, mask)
+        img = color * mask[..., None] + tgt * (1 - mask[..., None])
+        return photometric_loss(img, tgt, mask)
 
     @jax.jit
     def prep(cv):
@@ -95,35 +95,39 @@ def main():
 
     rec24, rec48, vndc, radiance, _ = jax.block_until_ready(prep(cv))
 
-    def g_records(cv_in, seed):
+    # every big array rides as an ARGUMENT: a closed-over device array is
+    # baked into the HLO as a constant, and the grad modules then exceed
+    # the axon remote-compile request limit (HTTP 413)
+
+    def g_records(cv_in, tgt, rec24, rec48, vndc, radiance, seed):
         r = rec24 * (1.0 + seed * 1e-30)
         g = jax.grad(
-            lambda rr: render_loss_from_records(rr, rec48, vndc, 0))(r)
+            lambda rr: render_loss_from_records(rr, rec48, vndc, tgt))(r)
         return jnp.sum(g[:, 9:])     # skip the big radiance slice sum
 
-    def g_radiance(cv_in, seed):
+    def g_radiance(cv_in, tgt, rec24, rec48, vndc, radiance, seed):
         def loss(rad):
             fields = _render_fields(vndc, rad, rows, h, w,
                                     corner_adj=bfm.raster_corner_adj)
             r24 = _stack24(fields, pad_rows)
             r48 = jax.lax.stop_gradient(
                 _pack_split_records(fields, rid, pad_rows))
-            return render_loss_from_records(r24, r48, vndc, 0)
+            return render_loss_from_records(r24, r48, vndc, tgt)
         g = jax.grad(loss)(radiance * (1.0 + seed * 1e-30))
         return jnp.sum(g)
 
-    def g_coeffs(cv_in, seed):
+    def g_coeffs(cv_in, tgt, rec24, rec48, vndc, radiance, seed):
         def loss(c_vec):
             out = render_coeffs(split_coeff(c_vec, cfg), bfm, cfg,
-                                background=target)
-            return photometric_loss(out.image, target, out.mask)
+                                background=tgt)
+            return photometric_loss(out.image, tgt, out.mask)
         g = jax.grad(loss)(cv_in * (1.0 + seed * 1e-30))
         return jnp.sum(g)
 
-    def f_fwd(cv_in, seed):
+    def f_fwd(cv_in, tgt, rec24, rec48, vndc, radiance, seed):
         out = render_coeffs(split_coeff(cv_in * (1.0 + seed * 1e-30),
-                                        cfg), bfm, cfg, background=target)
-        return photometric_loss(out.image, target, out.mask)
+                                        cfg), bfm, cfg, background=tgt)
+        return photometric_loss(out.image, tgt, out.mask)
 
     only = os.environ.get("ONLY")
     probes = {"fwd": ("fwd loss       ", f_fwd),
@@ -133,7 +137,7 @@ def main():
     for key, (tag, fn) in probes.items():
         if only and key not in only.split(","):
             continue
-        timed(tag, fn, cv)
+        timed(tag, fn, cv, target, rec24, rec48, vndc, radiance)
 
 
 if __name__ == "__main__":

@@ -117,27 +117,29 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
     where the wide record never leaves VMEM).
 
     Phase 1 (z-test): DMA the band's UNION candidate window HBM->VMEM in
-    16-chunk segments, then per COLUMN TILE run statically unrolled,
-    pl.when-predicated 4-chunk slab evals restricted to the column's own
-    chunk window — a chunk outside it provably covers none of the
-    column's pixels, so with the (y-bin, x)-sorted raster row order the
-    per-column work is a fraction of the band's. Each slab reduces
-    immediately into the column's (col_px, 1) best (deferred VMEM
-    carries measured 4x slower). Ties compare the carried ORIGINAL
-    face id (setup field 12), so the oracle's lowest-id rule holds under
-    any row order. Pixels are COLUMN-BLOCKED y-major within the band
-    (pix = col*col_px + y*col_w + x): column tiles are contiguous sublane
-    ranges and the unband relayout keeps col_w minor. No vector state
-    ever rides a fori_loop (a vector-carried loop costs ~1.1 us PER
-    ITERATION in VMEM round-trips).
-    Phase 2 (select, optional): per live 8-chunk slab, one one-hot MXU
-    dot over the lane-transposed record scratch; the one-hot keys on the
-    record's embedded id bytes (fields 42:45) against the phase-1 winner.
+    16-chunk segments, then per COLUMN TILE run statically unrolled
+    PER-CHUNK (col_px, 128) evals predicated on the column's EXACT
+    chunk-mask bits, gated hierarchically (column -> word -> byte ->
+    bit: flat checks cost 615 ns of scalar-core work per (band, col),
+    more than the live chunks' vector work; gated ~80 ns). Each live
+    chunk merges LANE-WISE into the column's (col_px, 128) (z, id)
+    accumulators and ONE cross-lane reduction runs per column. Ties
+    compare the carried ORIGINAL face id (setup field 12), so the
+    oracle's lowest-id rule holds under any row order. Pixels are
+    COLUMN-BLOCKED y-major within the band (pix = col*col_px + y*col_w
+    + x): column tiles are contiguous sublane ranges and the unband
+    relayout keeps col_w minor. No vector state ever rides a fori_loop
+    (a vector-carried loop costs ~1.1 us PER ITERATION in VMEM
+    round-trips).
+    Phase 2 (select, optional): per live 16-chunk (2048-lane) group, one
+    one-hot MXU dot over the lane-transposed record scratch; the one-hot
+    keys on the record's embedded id bytes (fields 42:45) against the
+    phase-1 winner.
 
-    Segment/slab alignment: segments are 16 chunks; eval slabs 4; select
-    slabs 8. Slab s is live iff its chunk range intersects the (column's)
-    window; rows beyond the window inside a DMA'd segment hold
-    neighboring bands' chunks or dead padding, both safe to evaluate.
+    Segment/group alignment: DMA segments are 16 chunks; select groups
+    _SELGRP. A group is live iff any of its mask bits is set; rows
+    beyond the window inside a DMA'd segment hold neighboring bands'
+    chunks or dead padding, both safe to evaluate.
 
     Scalars are flattened to (B, n_bands * n_cols): a short trailing dim
     would pad to 128 lanes in SMEM.
