@@ -129,15 +129,106 @@ def main():
                                         cfg), bfm, cfg, background=tgt)
         return photometric_loss(out.image, tgt, out.mask)
 
+    from facerecon_tpu.pipeline import init_params, make_pipeline
+    from facerecon_tpu.train import (init_state, make_optimizer,
+                                     make_train_step)
+    pipe = make_pipeline(cfg, synthetic_bfm(cfg, seed=0))
+    variables = init_params(pipe, jax.random.PRNGKey(0))
+    lmk = jnp.asarray(rng.random((batch, 68, 2)) * size,
+                      dtype=jnp.float32)
+
+    # CNN / full-step probes pass params & state as ARGUMENTS too (the
+    # 413 limit again: 100-300 MB of constants otherwise)
+    def g_cnn(vars_in, tgt, seed):
+        def loss(params):
+            out, _ = pipe.model.apply(
+                {"params": params,
+                 "batch_stats": vars_in.get("batch_stats", {})},
+                tgt * (1.0 + seed * 1e-30), train=True,
+                mutable=["batch_stats"])
+            return jnp.sum(out * out)
+        g = jax.grad(loss)(vars_in["params"])
+        return jax.tree.reduce(lambda a, x: a + jnp.sum(x), g, 0.0)
+
+    opt = make_optimizer(cfg, total_steps=1000)
+    state0 = init_state(pipe, opt, seed=0)
+    one_step = make_train_step(pipe, opt, chunk=1)
+
+    def f_step(st_in, tgt, lmk_in, seed):
+        st, parts = one_step(st_in, pipe.bfm,
+                             tgt * (1.0 + seed * 1e-30), lmk_in)
+        return parts["total"]
+
+    from facerecon_tpu.ops.losses import total_loss
+
+    def g_vgrad(vars_in, tgt, lmk_in, seed):
+        # value_and_grad of the train loss WITHOUT the optimizer update
+        def loss_fn(params):
+            coeff_vec, updates = pipe.model.apply(
+                {"params": params,
+                 "batch_stats": vars_in.get("batch_stats", {})},
+                tgt * (1.0 + seed * 1e-30), train=True,
+                mutable=["batch_stats"])
+            coeffs = split_coeff(coeff_vec, cfg)
+            out = render_coeffs(coeffs, pipe.bfm, cfg, background=tgt)
+            total, _ = total_loss(out, coeffs, tgt, lmk_in, pipe.bfm,
+                                  cfg)
+            return total
+        v, g = jax.value_and_grad(loss_fn)(vars_in["params"])
+        return v + jax.tree.reduce(lambda a, x: a + jnp.sum(x), g, 0.0)
+
+    def g_fullfwd(vars_in, tgt, lmk_in, seed):
+        # the train loss FORWARD only (CNN train-mode + render + losses)
+        coeff_vec, _ = pipe.model.apply(
+            {"params": vars_in["params"],
+             "batch_stats": vars_in.get("batch_stats", {})},
+            tgt * (1.0 + seed * 1e-30), train=True,
+            mutable=["batch_stats"])
+        coeffs = split_coeff(coeff_vec, cfg)
+        out = render_coeffs(coeffs, pipe.bfm, cfg, background=tgt)
+        total, _ = total_loss(out, coeffs, tgt, lmk_in, pipe.bfm, cfg)
+        return total
+
+    def g_cnnrender(vars_in, tgt, lmk_in, seed):
+        # CNN -> render -> photometric (no landmark/reg): isolates the
+        # CNN->render composition from total_loss
+        coeff_vec, _ = pipe.model.apply(
+            {"params": vars_in["params"],
+             "batch_stats": vars_in.get("batch_stats", {})},
+            tgt * (1.0 + seed * 1e-30), train=True,
+            mutable=["batch_stats"])
+        out = render_coeffs(split_coeff(coeff_vec, cfg), pipe.bfm, cfg,
+                            background=tgt)
+        return photometric_loss(out.image, tgt, out.mask)
+
+    def g_fixedtotal(cv_in, tgt, lmk_in, seed):
+        # fixed coeffs -> render -> total_loss: isolates total_loss
+        coeffs = split_coeff(cv_in * (1.0 + seed * 1e-30), cfg)
+        out = render_coeffs(coeffs, pipe.bfm, cfg, background=tgt)
+        total, _ = total_loss(out, coeffs, tgt, lmk_in, pipe.bfm, cfg)
+        return total
+
     only = os.environ.get("ONLY")
-    probes = {"fwd": ("fwd loss       ", f_fwd),
-              "records": ("grad@records   ", g_records),
-              "radiance": ("grad@radiance  ", g_radiance),
-              "coeffs": ("grad@coeffs    ", g_coeffs)}
-    for key, (tag, fn) in probes.items():
+    render_args = (cv, target, rec24, rec48, vndc, radiance)
+    probes = {"fwd": ("fwd loss       ", f_fwd, render_args),
+              "cnnrender": ("cnn+render+pho ", g_cnnrender,
+                            (variables, target, lmk)),
+              "fixedtotal": ("fixed+totalloss", g_fixedtotal,
+                             (cv, target, lmk)),
+              "fullfwd": ("train loss fwd ", g_fullfwd,
+                          (variables, target, lmk)),
+              "vgrad": ("value_and_grad ", g_vgrad,
+                        (variables, target, lmk)),
+              "records": ("grad@records   ", g_records, render_args),
+              "radiance": ("grad@radiance  ", g_radiance, render_args),
+              "coeffs": ("grad@coeffs    ", g_coeffs, render_args),
+              "cnn": ("grad@cnn params", g_cnn, (variables, target)),
+              "step": ("full train step", f_step,
+                       (state0, target, lmk))}
+    for key, (tag, fn, args) in probes.items():
         if only and key not in only.split(","):
             continue
-        timed(tag, fn, cv, target, rec24, rec48, vndc, radiance)
+        timed(tag, fn, *args)
 
 
 if __name__ == "__main__":
