@@ -153,8 +153,22 @@ def main():
 
     radiance_g = rad_only(cv)
 
+    def f_geo(vndc, records, seed):
+        c = split_coeff(cv * (1.0 + seed * 1e-30), cfg)
+        geom = coeffs_to_geometry(c, bfm, cfg)
+        return (jnp.sum(geom.verts_ndc) + jnp.sum(geom.normals)
+                + jnp.sum(geom.texture))
+
+    def f_georad(vndc, records, seed):
+        c = split_coeff(cv * (1.0 + seed * 1e-30), cfg)
+        geom = coeffs_to_geometry(c, bfm, cfg)
+        rad = sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
+        return jnp.sum(rad) + jnp.sum(geom.verts_ndc)
+
     only = os.environ.get("ONLY")
     probes = {"prep": ("prep(geom+pack)", f_prep),
+              "geo": ("geometry only  ", f_geo),
+              "georad": ("geometry+SH    ", f_georad),
               "bin": ("bin+layouts   ", f_bin),
               "pack24": ("pack24 (sum)  ", f_pack24),
               "split": ("split48 (sum) ", f_split),

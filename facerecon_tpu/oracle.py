@@ -99,24 +99,31 @@ def ndc_to_screen(verts_ndc, height, width):
     return np.stack([u, v], axis=-1).astype(np.float32)
 
 
-def rasterize(verts_ndc, faces, height, width, chunk=4096):
+def rasterize(verts_ndc, faces, height, width, chunk=512):
     """Brute-force z-buffer rasterization.
 
     Returns tri_id (H,W) int32 (-1 = background), bary (H,W,3) f32,
     zbuf (H,W) f32 (background = +inf). Pixel covered iff all three edge
     functions have the sign of the triangle's area (inclusive); nearest
     depth z' wins; ties -> smaller triangle id.
+
+    Still brute force per chunk, but each chunk only evaluates the pixel
+    ROWS its bounding box can touch: the edge-function arithmetic per
+    evaluated pixel is bit-identical, and a pixel outside every corner's
+    y-range is provably uncovered, so skipping it cannot change any
+    winner. (The dense O(F x P) form took ~4 min per 224-image with
+    21k faces — too slow for the on-chip parity suite, which runs 8.)
     """
     screen = ndc_to_screen(verts_ndc, height, width)  # (N,2)
     depth = verts_ndc[:, 2].astype(np.float32)
 
     jj, ii = np.meshgrid(np.arange(width), np.arange(height))
-    px = (jj + 0.5).astype(np.float32).reshape(-1)  # (P,)
-    py = (ii + 0.5).astype(np.float32).reshape(-1)
+    pxg = (jj + 0.5).astype(np.float32)               # (H,W)
+    pyg = (ii + 0.5).astype(np.float32)
 
-    tri_id = np.full(height * width, -1, dtype=np.int32)
-    zbuf = np.full(height * width, np.inf, dtype=np.float32)
-    bary = np.zeros((height * width, 3), dtype=np.float32)
+    tri_id = np.full((height, width), -1, dtype=np.int32)
+    zbuf = np.full((height, width), np.inf, dtype=np.float32)
+    bary = np.zeros((height, width, 3), dtype=np.float32)
 
     n_faces = faces.shape[0]
     for start in range(0, n_faces, chunk):
@@ -126,8 +133,20 @@ def rasterize(verts_ndc, faces, height, width, chunk=4096):
         # signed area*2 of each triangle (y-down coords)
         area = ((p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1])
                 - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0]))
+        live = np.abs(area) > 1e-12
+        ys = np.concatenate([p0[live, 1], p1[live, 1], p2[live, 1]])
+        if ys.size == 0:
+            continue
+        # pixel-center rows the chunk's bbox can cover (inclusive rule:
+        # a center exactly on the bbox edge still needs evaluating)
+        r0 = max(int(np.floor(ys.min() - 0.5)), 0)
+        r1 = min(int(np.ceil(ys.max() - 0.5)) + 1, height)
+        if r0 >= r1:
+            continue
+        px = pxg[r0:r1].reshape(-1)                   # (P',)
+        py = pyg[r0:r1].reshape(-1)
 
-        def edge(a, b):  # (C,P) edge function of segment a->b at all pixels
+        def edge(a, b):  # (C,P') edge function of segment a->b at pixels
             return ((b[:, 0] - a[:, 0])[:, None] * (py[None] - a[:, 1][:, None])
                     - (b[:, 1] - a[:, 1])[:, None]
                     * (px[None] - a[:, 0][:, None]))
@@ -150,16 +169,20 @@ def rasterize(verts_ndc, faces, height, width, chunk=4096):
         best = np.argmin(z, axis=0)  # argmin returns first min -> smaller id
         cols = np.arange(z.shape[1])
         bz = z[best, cols]
-        update = bz < zbuf  # strict: earlier chunk (smaller id) wins ties
-        tri_id = np.where(update, (start + best).astype(np.int32), tri_id)
-        zbuf = np.where(update, bz, zbuf)
+        zrows = zbuf[r0:r1].reshape(-1)
+        update = bz < zrows  # strict: earlier chunk (smaller id) wins ties
+        tid_rows = tri_id[r0:r1].reshape(-1)
+        tri_id[r0:r1] = np.where(
+            update, (start + best).astype(np.int32),
+            tid_rows).reshape(r1 - r0, width)
+        zbuf[r0:r1] = np.where(update, bz, zrows).reshape(r1 - r0, width)
         new_bary = np.stack(
             [w0[best, cols], w1[best, cols], w2[best, cols]], axis=-1)
-        bary = np.where(update[:, None], new_bary.astype(np.float32), bary)
+        bary[r0:r1] = np.where(
+            update[:, None], new_bary.astype(np.float32),
+            bary[r0:r1].reshape(-1, 3)).reshape(r1 - r0, width, 3)
 
-    return (tri_id.reshape(height, width),
-            bary.reshape(height, width, 3),
-            zbuf.reshape(height, width))
+    return tri_id, bary, zbuf
 
 
 # --- attribute interpolation + compositing (SURVEY.md §3 C9) ---
