@@ -160,42 +160,54 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
     col_px = tile_h * col_w
 
 
+    n_seg = _WINDOW // _SEG
+
+    def _dma(tb, hbm, scr, blo, wbase, lo, size, s):
+        # both setup and records are LANE-TRANSPOSED in HBM — (B, fields,
+        # rows) — so a window segment lands as (fields, size*CHUNK) with
+        # its chunks side-by-side on lanes: evals read static lane
+        # slices. Band tb of the program owns lane slot tb of the
+        # scratch; sem s is already slot-offset by the caller.
+        sbase = tb * _WINDOW * _CHUNK
+        return pltpu.make_async_copy(
+            hbm.at[b, :, pl.ds((blo + wbase + lo) * _CHUNK, size * _CHUNK)],
+            scr.at[:, pl.ds(sbase + lo * _CHUNK, size * _CHUNK)],
+            sem.at[s])
+
+    def _start(tb):
+        # start band tb's window-0 segment DMAs into its scratch slot —
+        # issued for ALL bpp bands before ANY band's compute, so band
+        # k+1's fetch rides under band k's compute (the round-3 bpp=2
+        # attempt serialized here: the second band's DMA only started
+        # after the first band's compute, exposing its full latency)
+        t = pl.program_id(1) * bpp + tb
+        blo = blo_ref[b, t]
+        bn = bn_ref[b, t]
+        for k in range(n_seg):
+            d = _dma(tb, setup_hbm, scr_s, blo, 0, k * _SEG, _SEG,
+                     tb * n_seg + k)
+            if k == 0:
+                d.start()
+            else:
+                pl.when(bn > k * _SEG)(lambda d=d: d.start())
+        if with_select:
+            for k in range(n_seg):
+                d = _dma(tb, rec_hbm, scr_r, blo, 0, k * _SEG, _SEG,
+                         (bpp + tb) * n_seg + k)
+                if k == 0:
+                    d.start()
+                else:
+                    pl.when(bn > k * _SEG)(lambda d=d: d.start())
+
     def _band(tb):
         t = pl.program_id(1) * bpp + tb
         # band union window (the DMA span) + per-column EXACT chunk masks
         # (_MWORDS int32 words per column, bit i of word w = chunk 32w+i)
         blo = blo_ref[b, t]
         bn = bn_ref[b, t]
+        sbase = tb * _WINDOW * _CHUNK
         cmask = [[cmask_ref[b, (t * n_cols + c) * _MWORDS + w]
                   for w in range(_MWORDS)] for c in range(n_cols)]
-
-        def dma_t(hbm, scr, wbase, lo, size, s):
-            # both setup and records are LANE-TRANSPOSED in HBM — (B, fields,
-            # rows) — so a window segment lands as (fields, size*128) with its
-            # chunks side-by-side on lanes: slabs read static lane slices
-            return pltpu.make_async_copy(
-                hbm.at[b, :, pl.ds((blo + wbase + lo) * _CHUNK, size * _CHUNK)],
-                scr.at[:, pl.ds(lo * _CHUNK, size * _CHUNK)], sem.at[s])
-
-        n_seg = _WINDOW // _SEG
-        segs = []
-        if "dma" not in abl:
-            for k in range(n_seg):
-                d = dma_t(setup_hbm, scr_s, 0, k * _SEG, _SEG, k)
-                if k == 0:
-                    d.start()
-                else:
-                    pl.when(bn > k * _SEG)(lambda d=d: d.start())
-                segs.append(d)
-        if with_select and "dma" not in abl:
-            rsegs = []
-            for k in range(n_seg):
-                d = dma_t(rec_hbm, scr_r, 0, k * _SEG, _SEG, n_seg + k)
-                if k == 0:
-                    d.start()
-                else:
-                    pl.when(bn > k * _SEG)(lambda d=d: d.start())
-                rsegs.append(d)
 
         # pixel coordinates, COLUMN-BLOCKED y-major within the band
         # (pix = col*col_px + y*col_w + x): column tiles are contiguous
@@ -217,10 +229,12 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
 
         # wait the segments (all up front; conditionals mirror the starts)
         for k in range(n_seg) if "dma" not in abl else []:
+            d = _dma(tb, setup_hbm, scr_s, blo, 0, k * _SEG, _SEG,
+                     tb * n_seg + k)
             if k == 0:
-                segs[k].wait()
+                d.wait()
             else:
-                pl.when(bn > k * _SEG)(lambda d=segs[k]: d.wait())
+                pl.when(bn > k * _SEG)(lambda d=d: d.wait())
 
         # ---- phase 1: per-column per-CHUNK evals predicated on the EXACT
         # chunk bitmask (bit i of word w = chunk 32w+i of the union window
@@ -250,7 +264,8 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
 
                 def chunk_eval(k):
                     cf = lambda f: scr_s[f:f + 1,
-                                         k * _CHUNK:(k + 1) * _CHUNK]
+                                         sbase + k * _CHUNK:
+                                         sbase + (k + 1) * _CHUNK]
                     qx = cpx - cf(9)
                     qy = cpy - cf(10)
                     e0 = cf(0) * qx + cf(1) * qy + cf(2)
@@ -306,8 +321,9 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         def _():
             def chunk_at(rel, _):
                 cf = lambda f: scr_s[f:f + 1,
-                                     pl.ds(pl.multiple_of(rel * _CHUNK,
-                                                          _CHUNK), _CHUNK)]
+                                     pl.ds(pl.multiple_of(
+                                         sbase + rel * _CHUNK, _CHUNK),
+                                         _CHUNK)]
                 qx = px - cf(9)
                 qy = py - cf(10)
                 e0 = cf(0) * qx + cf(1) * qy + cf(2)
@@ -330,7 +346,8 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
 
             def win_body(w, _):
                 wbase = w * _WINDOW
-                d = dma_t(setup_hbm, scr_s, wbase, 0, _WINDOW, 0)
+                d = _dma(tb, setup_hbm, scr_s, blo, wbase, 0, _WINDOW,
+                         tb * n_seg)
                 d.start()
                 d.wait()
                 nw = jnp.minimum(bn - wbase, _WINDOW)
@@ -367,10 +384,12 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         # row order/window works; background (0) matches only all-zero pad
         # records, whose contribution is zero.
         for k in range(n_seg) if "dma" not in abl else []:
+            d = _dma(tb, rec_hbm, scr_r, blo, 0, k * _SEG, _SEG,
+                     (bpp + tb) * n_seg + k)
             if k == 0:
-                rsegs[k].wait()
+                d.wait()
             else:
-                pl.when(bn > k * _SEG)(lambda d=rsegs[k]: d.wait())
+                pl.when(bn > k * _SEG)(lambda d=d: d.wait())
 
         # the select acc is TRANSPOSED (48, band_px) in BOTH modes: the
         # packed output leaves the kernel field-major, so the caller's
@@ -406,7 +425,8 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         rmask = (1 << _SELGRP) - 1
         for s in range(_WINDOW // _SELGRP) if "sel" not in abl else []:
             def ssel(s=s):
-                sel_block(scr_r[:, s * sup_lanes:(s + 1) * sup_lanes])
+                sel_block(scr_r[:, sbase + s * sup_lanes:
+                                sbase + (s + 1) * sup_lanes])
 
             pl.when(((umask[(s * _SELGRP) // 32] >> ((s * _SELGRP) % 32))
                      & rmask) != 0)(ssel)
@@ -414,15 +434,16 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         @pl.when(needs if "sel" not in abl else (bn < -1))
         def _():
             def sel_chunk(rel, _):
-                sel_block(scr_r[:, pl.ds(pl.multiple_of(rel * _CHUNK, _CHUNK),
-                                         _CHUNK)])
+                sel_block(scr_r[:, pl.ds(pl.multiple_of(
+                    sbase + rel * _CHUNK, _CHUNK), _CHUNK)])
                 return 0
 
             n_win = (bn + _WINDOW - 1) // _WINDOW
 
             def sel_win_body(w, _):
                 wbase = w * _WINDOW
-                d = dma_t(rec_hbm, scr_r, wbase, 0, _WINDOW, 0)
+                d = _dma(tb, rec_hbm, scr_r, blo, wbase, 0, _WINDOW,
+                         (bpp + tb) * n_seg)
                 d.start()
                 d.wait()
                 nw = jnp.minimum(bn - wbase, _WINDOW)
@@ -487,6 +508,9 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         packed_ref[0, tb] = scr_acc[...].astype(jnp.bfloat16)
 
 
+    if "dma" not in abl:
+        for tb in range(bpp):
+            _start(tb)
     for tb in range(bpp):
         _band(tb)
 
@@ -680,11 +704,13 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
-    bpp = 1   # bands per program. 2 was measured 2x SLOWER (233 vs
-    # 110 ms/128 at 224px): the second band's window DMA only
-    # starts after the first band's compute, exposing its full
-    # latency, and the doubled output block defeats the revolving
-    # write pipeline
+    # bands per program. bpp=2 with up-front dual-slot DMA starts was
+    # REMEASURED round 4 and is still 2.5x SLOWER (shade chain 104.6 ->
+    # 250.7 ms/128 at 224px) even with both bands' window fetches issued
+    # before any compute — the doubled output block defeats the
+    # revolving out-write pipeline (the round-3 diagnosis), not the DMA
+    # ordering. The slot machinery stays (degenerate at bpp=1).
+    bpp = 1
     band_px = tile_h * tile_w
     col_px = band_px // n_cols
 
@@ -705,12 +731,13 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
-                pltpu.VMEM((_ROW_PAD, _WINDOW * _CHUNK), jnp.float32),
+                pltpu.VMEM((_ROW_PAD, bpp * _WINDOW * _CHUNK),
+                           jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA((_WINDOW // _SEG,)),
+                pltpu.SemaphoreType.DMA((bpp * (_WINDOW // _SEG),)),
             ],
             out_specs=[
                 pl.BlockSpec((1, bpp, _OUT_P, band_px),
@@ -757,11 +784,13 @@ def _fused_impl(rec_t, verts_ndc, row_faces, row_id, *, n_faces: int,
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
-    bpp = 1   # bands per program. 2 was measured 2x SLOWER (233 vs
-    # 110 ms/128 at 224px): the second band's window DMA only
-    # starts after the first band's compute, exposing its full
-    # latency, and the doubled output block defeats the revolving
-    # write pipeline
+    # bands per program. bpp=2 with up-front dual-slot DMA starts was
+    # REMEASURED round 4 and is still 2.5x SLOWER (shade chain 104.6 ->
+    # 250.7 ms/128 at 224px) even with both bands' window fetches issued
+    # before any compute — the doubled output block defeats the
+    # revolving out-write pipeline (the round-3 diagnosis), not the DMA
+    # ordering. The slot machinery stays (degenerate at bpp=1).
+    bpp = 1
     band_px = tile_h * tile_w
     col_px = band_px // n_cols
 
@@ -785,14 +814,16 @@ def _fused_impl(rec_t, verts_ndc, row_faces, row_id, *, n_faces: int,
                 pl.BlockSpec(memory_space=pl.ANY),   # records, HBM
             ],
             scratch_shapes=[
-                pltpu.VMEM((_ROW_PAD, _WINDOW * _CHUNK), jnp.float32),
-                pltpu.VMEM((_RFIELDS, _WINDOW * _CHUNK), jnp.bfloat16),
+                pltpu.VMEM((_ROW_PAD, bpp * _WINDOW * _CHUNK),
+                           jnp.float32),
+                pltpu.VMEM((_RFIELDS, bpp * _WINDOW * _CHUNK),
+                           jnp.bfloat16),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.VMEM((_RFIELDS, band_px), jnp.float32),
-                pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
+                pltpu.SemaphoreType.DMA((2 * bpp * (_WINDOW // _SEG),)),
             ],
             out_specs=[
                 pl.BlockSpec((1, bpp, _RFIELDS, band_px),
@@ -861,11 +892,13 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
-    bpp = 1   # bands per program. 2 was measured 2x SLOWER (233 vs
-    # 110 ms/128 at 224px): the second band's window DMA only
-    # starts after the first band's compute, exposing its full
-    # latency, and the doubled output block defeats the revolving
-    # write pipeline
+    # bands per program. bpp=2 with up-front dual-slot DMA starts was
+    # REMEASURED round 4 and is still 2.5x SLOWER (shade chain 104.6 ->
+    # 250.7 ms/128 at 224px) even with both bands' window fetches issued
+    # before any compute — the doubled output block defeats the
+    # revolving out-write pipeline (the round-3 diagnosis), not the DMA
+    # ordering. The slot machinery stays (degenerate at bpp=1).
+    bpp = 1
     band_px = tile_h * tile_w
     col_px = band_px // n_cols
 
@@ -886,14 +919,16 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
                 pl.BlockSpec(memory_space=pl.ANY),   # records, HBM
             ],
             scratch_shapes=[
-                pltpu.VMEM((_ROW_PAD, _WINDOW * _CHUNK), jnp.float32),
-                pltpu.VMEM((_RFIELDS, _WINDOW * _CHUNK), jnp.bfloat16),
+                pltpu.VMEM((_ROW_PAD, bpp * _WINDOW * _CHUNK),
+                           jnp.float32),
+                pltpu.VMEM((_RFIELDS, bpp * _WINDOW * _CHUNK),
+                           jnp.bfloat16),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.VMEM((_RFIELDS, band_px), jnp.float32),
-                pltpu.SemaphoreType.DMA((2 * (_WINDOW // _SEG),)),
+                pltpu.SemaphoreType.DMA((2 * bpp * (_WINDOW // _SEG),)),
             ],
             out_specs=[
                 pl.BlockSpec((1, bpp, _OUT_S, band_px),
