@@ -98,7 +98,11 @@ def train_bench():
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "4"))
+    # chunk=1 measured 45% faster than chunk=4 at batch-128 (404.6 vs
+    # 278.9 faces/s): the scan's TrainState carry costs ~145 ms/step,
+    # far more than the ~20 ms dispatch RTT it amortizes at this step
+    # size
+    chunk = int(os.environ.get("BENCH_CHUNK", "1"))
     cfg = default_config(batch_size=batch)
     assets = synthetic_bfm(cfg, seed=0)
     pipe = make_pipeline(cfg, assets)
@@ -113,6 +117,9 @@ def train_bench():
     lmk = jnp.asarray(
         rng.random((chunk, batch, 68, 2)) * cfg.image_size,
         dtype=jnp.float32)
+
+    if chunk == 1:
+        images, lmk = images[0], lmk[0]    # unchunked one_step signature
 
     state, parts = step(state, pipe.bfm, images, lmk)   # compile + warmup
     _ = float(parts["total"])

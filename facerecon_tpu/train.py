@@ -53,9 +53,13 @@ def make_train_step(pipe, opt, use_landmarks: bool = True,
     metrics).
 
     chunk > 1 scans `chunk` optimizer steps inside ONE XLA dispatch over
-    stacked (chunk, batch, ...) inputs — the per-dispatch round trip (tens
-    of ms over the axon tunnel) otherwise dominates the step time. Metrics
-    are the last step's."""
+    stacked (chunk, batch, ...) inputs — worth it only when the step is
+    FAST relative to the ~20 ms per-dispatch tunnel round trip. Measured
+    round 4 at batch-128 (~300 ms steps): the scan's TrainState carry
+    costs ~145 ms PER STEP (316 ms unchunked vs 460 ms at chunk=4-8 —
+    the ~300 MB params+opt tree round-trips through the loop-carried
+    buffers), so chunk=1 is 45% faster; prefer chunk=1 unless steps are
+    tens of ms. Metrics are the last step's."""
     model, cfg = pipe.model, pipe.cfg
 
     def loss_fn(params, batch_stats, bfm: DeviceBFM, images, gt_lmk):
