@@ -97,6 +97,28 @@ _OUT_S = 16             # shade-mode output rows: rgb hi/lo 6 | w0/w1
                         # never leaves VMEM; ~3.5x less HBM written)
 
 
+def _ctz32(m):
+    """Branchless count-trailing-zeros of a nonzero int32 word using only
+    plain scalar ops (no ctz/clz primitive needed; ~10 scalar ops)."""
+    m = m.astype(jnp.uint32)
+    k = jnp.uint32(0)
+    for shift in (16, 8, 4, 2, 1):
+        low = (jnp.uint32(1) << shift) - jnp.uint32(1)
+        z = (m & low) == 0
+        k = k + jnp.where(z, jnp.uint32(shift), jnp.uint32(0))
+        m = jnp.where(z, m >> shift, m)
+    return k.astype(jnp.int32)
+
+
+def _popcount32(m):
+    """Branchless popcount of an int32 word (plain scalar ops)."""
+    m = m.astype(jnp.uint32)
+    m = m - ((m >> 1) & jnp.uint32(0x55555555))
+    m = (m & jnp.uint32(0x33333333)) + ((m >> 2) & jnp.uint32(0x33333333))
+    m = (m + (m >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((m * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
 def padded_rows(n_faces: int) -> int:
     """Static row count of the padded setup/record arrays for n_faces:
     whole chunks plus a full DMA window of slack (fixed-size per-band
@@ -263,9 +285,11 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
                 scr_ai[...] = jnp.full((col_px, _CHUNK), 3e38, jnp.float32)
 
                 def chunk_eval(k):
-                    cf = lambda f: scr_s[f:f + 1,
-                                         sbase + k * _CHUNK:
-                                         sbase + (k + 1) * _CHUNK]
+                    # k may be a DYNAMIC scalar (the ctz loop below): a
+                    # 128-lane-aligned dynamic lane slice costs the same
+                    # as a static one (measured, benchmarks/ctzloop_probe)
+                    off = pl.multiple_of(sbase + k * _CHUNK, _CHUNK)
+                    cf = lambda f: scr_s[f:f + 1, pl.ds(off, _CHUNK)]
                     qx = cpx - cf(9)
                     qy = cpy - cf(10)
                     e0 = cf(0) * qx + cf(1) * qy + cf(2)
@@ -284,18 +308,25 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
                                             jnp.broadcast_to(cf(12),
                                                              az.shape), ai)
 
+                # LOOPED live-chunk walk (round 5): fori_loop over the
+                # mask word's set bits, trip count = popcount, carrying
+                # the remaining mask as a SCALAR (no vector state in the
+                # carry — accumulators live in scr_az/scr_ai scratch).
+                # Replaces 64 statically unrolled pl.when chunk bodies
+                # per column, whose Mosaic compile time blew up
+                # superlinearly in n_cols x _WINDOW (tile_h=4 x 7 cols
+                # exceeded 600 s; looped it compiles in seconds) at
+                # MEASURED-EQUAL runtime (ctzloop_probe: looped <=
+                # unrolled at every occupancy).
                 for w in range(_MWORDS):
                     def word_grp(w=w):
-                        for kb in range(4):
-                            def byte_grp(w=w, kb=kb):
-                                for i in range(8):
-                                    k = w * 32 + kb * 8 + i
-                                    pl.when(((cmask[c][w]
-                                              >> (kb * 8 + i)) & 1) != 0)(
-                                        lambda k=k: chunk_eval(k))
+                        def bit_body(_, m):
+                            chunk_eval(w * 32 + _ctz32(m))
+                            mu = m.astype(jnp.uint32)
+                            return (mu & (mu - 1)).astype(jnp.int32)
 
-                            pl.when(((cmask[c][w] >> (kb * 8)) & 255)
-                                    != 0)(byte_grp)
+                        jax.lax.fori_loop(0, _popcount32(cmask[c][w]),
+                                          bit_body, cmask[c][w])
 
                     pl.when(cmask[c][w] != 0)(word_grp)
 
