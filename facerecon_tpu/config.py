@@ -57,14 +57,17 @@ class FaceReconConfig:
 
     # --- rasterizer tiling (SURVEY.md §9.5) ---
     # band height in pixel rows, shared by the Pallas kernel and the tiled
-    # fallback; 2 measured fastest at 224px on v5e (fewest candidate-pixel
-    # pairs per band)
-    tile_h: int = 2
+    # fallback. 4 (with raster_cols=7 -> 32px columns, col_px=128 full
+    # vregs) measured fastest at 224px on v5e once the looped chunk eval
+    # removed the Mosaic unroll wall: half the per-program skeleton of
+    # tile_h=2 at near-equal pair count (floor 61.4 -> 50.3 ms/128;
+    # tile_h=8 x 14cols measured 54.4 — taller bands widen the union
+    # windows faster than the skeleton shrinks).
+    tile_h: int = 4
     # Pallas kernel: column tiles per band. Each column evaluates only
-    # the candidate chunks whose bbox intersects it (tight under the
-    # asset's (y-bin, x)-sorted raster row order): 4 cuts candidate-pixel
-    # pairs ~1.8x at 224px, ~2.4x at 8 (diminishing per-slab returns).
-    raster_cols: int = 4
+    # the candidate chunks whose EXACT per-chunk bitmask bit is set; 7
+    # keeps tile_w=224 pad-free at 224px with 128-px column tiles.
+    raster_cols: int = 7
     # fallback (ops/rasterize_tiled.py) tile width
     tile_w: int = 128
     # fallback: max candidate triangles per tile after binning
@@ -105,8 +108,11 @@ def default_config(**overrides) -> FaceReconConfig:
 
 def tiny_config(**overrides) -> FaceReconConfig:
     """Small mesh + image for fast CPU tests."""
+    # tile_h/raster_cols stay at the round-4 CPU-test geometry: the
+    # production 4x7 tiling is sized for 224px on hardware; at 64px it
+    # pads the 64-px row to a 112-px tile (pure interpret-mode waste)
     base = dict(n_vertices=500, n_faces=900, image_size=64,
                 focal=1015.0 * 64 / 224, max_tris_per_tile=1024,
-                tri_chunk=128, batch_size=4)
+                tri_chunk=128, batch_size=4, tile_h=2, raster_cols=2)
     base.update(overrides)
     return FaceReconConfig(**base)

@@ -1244,37 +1244,105 @@ def _rs_bwd(n_faces, height, width, tile_h, n_cols, cull_backfaces, res,
 _rs_core.defvjp(_rs_fwd, _rs_bwd)
 
 
+def _pack_contract_records(coeffs_t, row_id, pad_rows: int):
+    """(B, 48, rows) bf16 pre-split CONTRACT record for the §9.5
+    (tri_id, bary, zbuf) path, built from the binning field blocks
+    (ops/binning.bin_triangles_static_t coeffs_t layout: wa0, wb0, wc0,
+    wa1, wb1, wc1, za, zb, zc, x0, y0, ymin).
+
+    Same 48-row frame as _split_records so mode="select" serves it
+    unchanged (the one-hot keys on fields 42:45; everything else is
+    caller-defined payload):
+      0:3/3:6/6:9   za/zb/zc in 3 exact bf16 parts (full-f32 depth affine)
+      18:36         w-coefficients p0 x6 | p1 x6 | p2 x6 (matches the
+                    render record's slots, so the decode shares indexing)
+      36:39/39:42   anchor x0 / y0 in 3 parts
+      42:45/45:48   (face id + 1) bytes / (raster row + 1) bytes
+    Rows 9:18 are zero. Every part is exactly bf16, so the f32
+    reconstruction — and hence the decoded bary/zbuf — equals a direct
+    f32 evaluation of the setup fields bit for bit."""
+    b, f = coeffs_t[0].shape
+    pad = pad_rows - f
+
+    def pd(a):
+        return jnp.pad(a, ((0, 0), (0, pad)))
+
+    z_sp = [_split3(coeffs_t[k]) for k in (6, 7, 8)]      # za, zb, zc
+    w_sp = [_split3(coeffs_t[k]) for k in range(6)]       # wa0..wc1
+    x_sp = _split3(coeffs_t[9])
+    y_sp = _split3(coeffs_t[10])
+    zero = jnp.zeros((b, pad_rows), jnp.float32)
+    parts = ([pd(p) for z in z_sp for p in z] + [zero] * 9
+             + [pd(w[0]) for w in w_sp] + [pd(w[1]) for w in w_sp]
+             + [pd(w[2]) for w in w_sp]
+             + [pd(p) for p in x_sp] + [pd(p) for p in y_sp])
+    rid = jnp.full((pad_rows,), 0xFFFFFF,
+                   jnp.int32).at[:row_id.shape[0]].set(row_id + 1)
+    rowi = jnp.arange(pad_rows, dtype=jnp.int32) + 1
+    stat = [jnp.broadcast_to(a.astype(jnp.bfloat16)[None, :],
+                             (b, pad_rows))
+            for a in (rid & 255, (rid >> 8) & 255, rid >> 16,
+                      rowi & 255, (rowi >> 8) & 255, rowi >> 16)]
+    return jnp.stack([p.astype(jnp.bfloat16) for p in parts] + stat,
+                     axis=1)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "cfg", "tile_h", "cull_backfaces"))
+    static_argnames=("height", "width", "cfg", "tile_h", "n_cols",
+                     "cull_backfaces"))
 def rasterize_batch(verts_ndc, faces, *, height: int, width: int, cfg=None,
-                    tile_h: int = 2, cull_backfaces: bool = False):
+                    tile_h: int = 2, n_cols: int = 1,
+                    cull_backfaces: bool = False,
+                    row_faces=None, row_id=None):
     """Full SURVEY.md §9.5 contract: (tri_id, bary, zbuf), batched.
+
+    Routed through the FUSED SELECT kernel (mode="select") with a
+    contract record carrying the depth and barycentric affine forms
+    (_pack_contract_records): the old dedicated pos-mode pass cost
+    ~14x the fused path — its per-band (band_px, 1) -> (1, band_px)
+    in-kernel relayout serialized on the scalar core — and its decode
+    needed a per-pixel record row gather (~element/cycle on TPU). Here
+    the MXU select delivers each pixel's winner fields in dense planes
+    and the decode is pure elementwise math. Values are bit-identical:
+    same phase-1 z-test, and the affine forms are carried at full f32
+    precision in exact bf16 parts.
 
     Fully jitted — eager dispatch over the axon tunnel costs seconds per op.
     """
     if cfg is not None:
         tile_h = cfg.tile_h
-    tri_id, records, zbuf, _ = rasterize_positions(
-        verts_ndc, faces, height=height, width=width, tile_h=tile_h,
+    if row_faces is None:
+        row_faces, row_id = _identity_rows(faces)
+    setup = bin_triangles_static_t(
+        verts_ndc, row_faces, height, width, tile_h, _CHUNK,
+        cull_backfaces, tile_w=col_width(width, n_cols),
+        mask_words=_MWORDS)  # CSE'd with _fused_impl's identical call
+    rec = _pack_contract_records(setup.coeffs_t, row_id,
+                                 padded_rows(row_faces.shape[0]))
+    tri_id, prec, _, _ = _fused_impl(
+        rec, verts_ndc, row_faces, row_id, n_faces=faces.shape[0],
+        height=height, width=width, tile_h=tile_h, n_cols=n_cols,
         cull_backfaces=cull_backfaces)
     hit = tri_id >= 0
-    safe = jnp.maximum(tri_id, 0)
-    # barycentrics from the winner's affine record (non-differentiable
-    # path; render.py recomputes them differentiably from tri_id).
-    # records are field-major (B, 16, rows): gather rows per pixel
-    rec = jnp.take_along_axis(
-        jnp.transpose(records, (0, 2, 1)),
-        safe.reshape(records.shape[0], -1, 1), axis=1
-    ).reshape(*tri_id.shape, _ROW_PAD)
+
+    def f(k):
+        return prec[:, k]
+
+    def w(k):     # affine coefficient k: 3 exact bf16 parts = full f32
+        return f(18 + k) + f(24 + k) + f(30 + k)
+
     jj, ii = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
-    qx = (jj + 0.5).astype(jnp.float32)[None] - rec[..., 9]
-    qy = (ii + 0.5).astype(jnp.float32)[None] - rec[..., 10]
-    w0 = rec[..., 0] * qx + rec[..., 1] * qy + rec[..., 2]
-    w1 = rec[..., 3] * qx + rec[..., 4] * qy + rec[..., 5]
-    bary = jnp.stack([w0, w1, 1.0 - w0 - w1], axis=-1)
-    bary = jnp.where(hit[..., None], bary, 0.0)
-    zbuf = jnp.where(hit, zbuf, jnp.inf)
+    qx = (jj + 0.5).astype(jnp.float32)[None] - (f(36) + f(37) + f(38))
+    qy = (ii + 0.5).astype(jnp.float32)[None] - (f(39) + f(40) + f(41))
+    w0 = w(0) * qx + w(1) * qy + w(2)
+    w1 = w(3) * qx + w(4) * qy + w(5)
+    za = f(0) + f(1) + f(2)
+    zb = f(3) + f(4) + f(5)
+    zc = f(6) + f(7) + f(8)
+    zbuf = jnp.where(hit, za * qx + zb * qy + zc, jnp.inf)
+    bary = jnp.stack([jnp.where(hit, v, 0.0)
+                      for v in (w0, w1, 1.0 - w0 - w1)], axis=-1)
     return tri_id, bary, zbuf
 
 

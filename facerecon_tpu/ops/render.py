@@ -27,19 +27,6 @@ from facerecon_tpu.ops.geometry import DeviceBFM, Geometry, coeffs_to_geometry
 from facerecon_tpu.utils.coeffs import Coeffs
 
 
-def _rasterize_tri_id(verts_ndc, faces, height, width, cfg):
-    """Hard-visibility pass -> tri_id (B,H,W) int32. Chooses backend:
-    Pallas kernel on TPU, band-binned jnp elsewhere."""
-    verts_ndc = jax.lax.stop_gradient(verts_ndc)
-    from facerecon_tpu.ops import rasterize_pallas, rasterize_tiled
-    if rasterize_pallas.is_available():
-        return rasterize_pallas.rasterize_batch(
-            verts_ndc, faces, height=height, width=width, cfg=cfg)[0]
-    return rasterize_tiled.rasterize_batch(
-        verts_ndc, faces, height=height, width=width, tile_h=cfg.tile_h,
-        max_tris_per_band=cfg.max_tris_per_tile)[0]
-
-
 def barycentric_from_id(tri_id, verts_ndc, faces, height: int, width: int):
     """Recompute barycentric weights differentiably (B,H,W,3).
 
