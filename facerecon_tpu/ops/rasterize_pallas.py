@@ -80,7 +80,8 @@ _MWORDS = 2             # int32 chunk-mask words per (band, col): exact
                         # poses (benchmarks/pair_stats.py)
 _BGRP = 8               # chunks per backward group (1024 lanes)
 _GLANES = _BGRP * _CHUNK  # super / backward group lane width
-_SELGRP = 16            # chunks per phase-2 select dot (2048 lanes):
+_SELGRP = int(os.environ.get("RP_SELGRP", "16"))
+                        # chunks per phase-2 select dot (2048 lanes):
                         # fewer, larger one-hot dots pipeline better on
                         # the MXU AND round the live span up less
                         # (ceil(13.7/16) = 1 group vs ceil(13.7/8) = 2 at
@@ -445,22 +446,36 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
 
         # band-union select slabs (1024 lanes), predicated on the OR of the
         # column masks: a dead mid-window slab is skipped (the old `bn >`
-        # test could not). Per-COLUMN select slabs were tried and measured
-        # SLOWER (137.8 vs 129 ms/128 at 224px): 8x more, 8x smaller
-        # (col_px, 512) dots lose more to per-dot fixed costs (idl/onehot
-        # setup, sub-128 M tiles, acc round-trips) than the pruned pairs buy
+        # test could not). Per-COLUMN select dots were tried TWICE and
+        # measured SLOWER both times: round 3 statically unrolled
+        # (col_px, 512) dots (137.8 vs 129 ms/128 at tile_h=2), round 5
+        # ctz-fori-looped per-column group dots at tile_h=4/7cols with
+        # full-tile N=128 (sg=2: 64.9, sg=4: 60.5, sg=8: 55.3 vs union
+        # 50.0 ms/128) — ~3x fewer one-hot MACs never beat the serial
+        # loop-carried acc RMW + per-dot onehot setup; the monotone trend
+        # toward bigger groups says the MXU wants few, large, pipelined
+        # dots.
         umask = [functools.reduce(lambda a, b: a | b,
                                   [cmask[c][w] for c in range(n_cols)])
                  for w in range(_MWORDS)]
         sup_lanes = _SELGRP * _CHUNK
-        rmask = (1 << _SELGRP) - 1
+
+        def _grp_live(s):
+            # any mask bit set in chunk range [s*_SELGRP, (s+1)*_SELGRP)
+            if _SELGRP >= 32:                 # whole words
+                ws = range(s * _SELGRP // 32, (s + 1) * _SELGRP // 32)
+                return functools.reduce(lambda a, b: a | b,
+                                        [umask[w] for w in ws]) != 0
+            rmask = (1 << _SELGRP) - 1
+            return ((umask[(s * _SELGRP) // 32] >> ((s * _SELGRP) % 32))
+                    & rmask) != 0
+
         for s in range(_WINDOW // _SELGRP) if "sel" not in abl else []:
             def ssel(s=s):
                 sel_block(scr_r[:, sbase + s * sup_lanes:
                                 sbase + (s + 1) * sup_lanes])
 
-            pl.when(((umask[(s * _SELGRP) // 32] >> ((s * _SELGRP) % 32))
-                     & rmask) != 0)(ssel)
+            pl.when(_grp_live(s))(ssel)
 
         @pl.when(needs if "sel" not in abl else (bn < -1))
         def _():
