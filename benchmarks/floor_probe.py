@@ -71,6 +71,7 @@ def main():
     band_px = tile_h * tile_w
 
     mode = os.environ.get("FLOOR_KMODE", "select")
+    out_rows = RP._OUT_S if mode == "shade" else RP._RFIELDS
 
     def call_pos(clo, cn, cm, st, rt):
         return pl.pallas_call(
@@ -110,7 +111,7 @@ def main():
         return pl.pallas_call(
             functools.partial(RP._kernel, tile_h=tile_h, tile_w=tile_w,
                               n_cols=n_cols, band_px=band_px,
-                              mode="select"),
+                              mode=mode),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(bsz, n_bands),
@@ -131,13 +132,13 @@ def main():
                     pltpu.SemaphoreType.DMA((2 * (RP._WINDOW // RP._SEG),)),
                 ],
                 out_specs=[
-                    pl.BlockSpec((1, 1, RP._RFIELDS, band_px),
+                    pl.BlockSpec((1, 1, out_rows, band_px),
                                  lambda b, t, *_: (b, t, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((bsz, n_bands, RP._RFIELDS, band_px),
+                jax.ShapeDtypeStruct((bsz, n_bands, out_rows, band_px),
                                      jnp.bfloat16),
             ],
         )(clo, cn, cm, st, rt)[0]

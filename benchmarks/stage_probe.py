@@ -153,6 +153,47 @@ def main():
 
     radiance_g = rad_only(cv)
 
+    def f_packsplit(vndc, records, seed):
+        # the PRODUCTION record pack: field blocks -> 48-row pre-split
+        # bf16 kernel record in one materialization
+        from facerecon_tpu.ops.render import (_pack_split_records,
+                                              _render_fields)
+        fields = _render_fields(vndc * (1.0 + seed * 1e-30), radiance_g,
+                                row_faces, size, size)
+        r = _pack_split_records(fields, row_id,
+                                RP.padded_rows(row_faces.shape[0]))
+        return jnp.sum(r.astype(jnp.float32))
+
+    def f_fields(vndc, records, seed):
+        from facerecon_tpu.ops.render import _render_fields
+        fields = _render_fields(vndc * (1.0 + seed * 1e-30), radiance_g,
+                                row_faces, size, size)
+        return sum(jnp.sum(f) for f in fields)
+
+    def f_synth(vndc, records, seed):
+        from facerecon_tpu.ops.geometry import (compute_rotation,
+                                                rigid_transform,
+                                                shape_formation,
+                                                texture_formation, to_ndc)
+        c = split_coeff(cv * (1.0 + seed * 1e-30), cfg)
+        shape = shape_formation(c.id, c.exp, bfm)
+        tex = texture_formation(c.tex, bfm)
+        rot = compute_rotation(c.angles)
+        verts = rigid_transform(shape, rot, c.trans)
+        return (jnp.sum(to_ndc(verts, cfg)) + jnp.sum(tex)
+                + jnp.sum(shape))
+
+    def f_normals(vndc, records, seed):
+        from facerecon_tpu.ops.geometry import compute_norm
+        c = split_coeff(cv * (1.0 + seed * 1e-30), cfg)
+        from facerecon_tpu.ops.geometry import shape_formation
+        shape = shape_formation(c.id, c.exp, bfm)
+        n = compute_norm(shape, bfm.faces, shape.shape[-2],
+                         adj=bfm.vertex_face_adj,
+                         corner_adj=bfm.vertex_corner_adj,
+                         corner_adj_cm=bfm.vertex_corner_adj_cm)
+        return jnp.sum(n)
+
     def f_geo(vndc, records, seed):
         c = split_coeff(cv * (1.0 + seed * 1e-30), cfg)
         geom = coeffs_to_geometry(c, bfm, cfg)
@@ -167,6 +208,10 @@ def main():
 
     only = os.environ.get("ONLY")
     probes = {"prep": ("prep(geom+pack)", f_prep),
+              "synth": ("synthesis+pose ", f_synth),
+              "normals": ("normals        ", f_normals),
+              "fields": ("render fields  ", f_fields),
+              "packsplit": ("fields+split48 ", f_packsplit),
               "geo": ("geometry only  ", f_geo),
               "georad": ("geometry+SH    ", f_georad),
               "bin": ("bin+layouts   ", f_bin),

@@ -253,12 +253,15 @@ def bin_triangles_static_t(verts_ndc, faces, height: int, width: int,
     bsz = verts_ndc.shape[0]
     f = faces.shape[0]
     screen = ndc_to_screen(verts_ndc, height, width)          # (B,N,2)
-    pv = jnp.concatenate([screen, verts_ndc[..., 2:3]], -1)   # (B,N,3)
     idx = jnp.transpose(faces).reshape(-1)                    # corner-major
-    corners = jnp.take(pv, idx, axis=1)                       # (B, 3F, 3)
+    # PLANE-form gather: three (B, 3F) <- (B, N) minor-axis gathers —
+    # the (B, 3F, 3) row-gather form pays per ROW (~4 ms/128 at 224px
+    # vs ~1 for the planes, benchmarks/gather_probe.py)
+    planes = (screen[..., 0], screen[..., 1], verts_ndc[..., 2])
+    corners = tuple(jnp.take(p, idx, axis=-1) for p in planes)
 
     def fld(c, k):
-        return corners[:, c * f:(c + 1) * f, k]               # (B, F)
+        return corners[k][:, c * f:(c + 1) * f]               # (B, F)
 
     x0, y0, z0 = fld(0, 0), fld(0, 1), fld(0, 2)
     x1, y1, z1 = fld(1, 0), fld(1, 1), fld(1, 2)

@@ -44,12 +44,20 @@ class DeviceBFM(NamedTuple):
                                  # pad. Derived here (not an asset field):
                                  # it makes the record pack's adjoint a
                                  # fixed gather instead of a scatter-add.
+    vertex_corner_adj_cm: jnp.ndarray  # (N, deg_max) int32: the same
+                                 # corner adjacency in CORNER-MAJOR
+                                 # ORIGINAL-FACE-ORDER positions
+                                 # (slot * F + face; pad 3F) — the
+                                 # adjoint table of the PLANE-form corner
+                                 # gathers (take_corner_planes) used by
+                                 # the normals path.
 
 
 def device_bfm(assets) -> DeviceBFM:
     import numpy as np
+    derived = ("raster_corner_adj", "vertex_corner_adj_cm")
     vals = {f: jnp.asarray(getattr(assets, f))
-            for f in DeviceBFM._fields if f != "raster_corner_adj"}
+            for f in DeviceBFM._fields if f not in derived}
     vca = np.asarray(assets.vertex_corner_adj)      # flat face*3+slot
     rid = np.asarray(assets.raster_row_id)
     n_f = assets.faces.shape[0]
@@ -61,6 +69,8 @@ def device_bfm(assets) -> DeviceBFM:
     rca = np.where(vca >= 3 * n_f, 3 * n_rows,
                    (vca % 3) * n_rows + row_of_face[face])
     vals["raster_corner_adj"] = jnp.asarray(rca.astype(np.int32))
+    cm = np.where(vca >= 3 * n_f, 3 * n_f, (vca % 3) * n_f + face)
+    vals["vertex_corner_adj_cm"] = jnp.asarray(cm.astype(np.int32))
     return DeviceBFM(**vals)
 
 
@@ -156,6 +166,45 @@ def take_corners(per_vert, faces_flat, corner_adj, n_out: int):
     return jnp.take(per_vert, faces_flat, axis=-2)
 
 
+@jax.custom_vjp
+def take_corner_planes(planes, faces_flat, corner_adj):
+    """PLANE-form corner gather: tuple of (B, N) per-vertex field planes
+    -> tuple of (B, 3F) corner planes, gathered along the MINOR axis.
+
+    TPU gathers cost per ROW, not per byte: the row form
+    jnp.take((B,N,C), idx, axis=-2) measured 5.5 ms/128 for C=5 at 224px
+    while C independent minor-axis (B, idx) <- (B, N) gathers measure
+    1.6 ms/128 TOTAL (benchmarks/gather_probe.py) — the narrow-row
+    gather pays ~a row per cycle; the plane form runs at ~HBM bandwidth
+    and extra planes fuse almost free. The adjoint is the same
+    gather-based corner-adjacency sum as take_corners, also in plane
+    form (minor-axis gathers in the backward too)."""
+    del corner_adj
+    return tuple(jnp.take(p, faces_flat, axis=-1) for p in planes)
+
+
+def _tcp_fwd(planes, faces_flat, corner_adj):
+    return (take_corner_planes(planes, faces_flat, corner_adj),
+            (corner_adj, planes[0].shape))
+
+
+def _tcp_bwd(res, g):
+    corner_adj, pshape = res
+    n_vertices, deg = pshape[-1], corner_adj.shape[1]
+
+    def one(gp):
+        g_pad = jnp.concatenate(
+            [gp, jnp.zeros((*gp.shape[:-1], 1), gp.dtype)], axis=-1)
+        picked = jnp.take(g_pad, corner_adj.reshape(-1), axis=-1)
+        picked = picked.reshape(*gp.shape[:-1], n_vertices, deg)
+        return picked.sum(axis=-1)
+
+    return tuple(one(gp) for gp in g), None, None
+
+
+take_corner_planes.defvjp(_tcp_fwd, _tcp_bwd)
+
+
 def _tc_fwd(per_vert, faces_flat, corner_adj, n_out):
     return (take_corners(per_vert, faces_flat, corner_adj, n_out),
             (corner_adj, per_vert.shape))
@@ -204,8 +253,41 @@ def _afn_bwd(faces, g):
 _accumulate_face_normals.defvjp(_afn_fwd, _afn_bwd)
 
 
+@jax.custom_vjp
+def _accumulate_fn_planes(fn_planes, adj, faces):
+    """PLANE form of _accumulate_face_normals: tuple of (B, F) face-normal
+    component planes -> tuple of (B, N) vertex sums, all gathers along the
+    MINOR axis (the (B,N,deg,3) row-gather form measured 3.8 ms/128 at
+    224px; plane gathers run at ~bandwidth — benchmarks/gather_probe.py).
+    Backward per plane: d face_n[f] = sum_k g[faces[f, k]] — three minor
+    gathers, no scatter."""
+    n_vertices, deg = adj.shape
+
+    def one(p):
+        p_pad = jnp.concatenate(
+            [p, jnp.zeros((*p.shape[:-1], 1), p.dtype)], axis=-1)
+        g = jnp.take(p_pad, adj.reshape(-1), axis=-1)
+        return g.reshape(*p.shape[:-1], n_vertices, deg).sum(axis=-1)
+
+    return tuple(one(p) for p in fn_planes)
+
+
+def _afnp_fwd(fn_planes, adj, faces):
+    return _accumulate_fn_planes(fn_planes, adj, faces), faces
+
+
+def _afnp_bwd(faces, g):
+    def one(gp):
+        return sum(jnp.take(gp, faces[:, c], axis=-1) for c in range(3))
+
+    return tuple(one(gp) for gp in g), None, None
+
+
+_accumulate_fn_planes.defvjp(_afnp_fwd, _afnp_bwd)
+
+
 def compute_norm(verts, faces, n_vertices: int, adj=None,
-                 corner_adj=None) -> jnp.ndarray:
+                 corner_adj=None, corner_adj_cm=None) -> jnp.ndarray:
     """Per-vertex normals: area-weighted face normals summed per vertex.
 
     With `adj` (precomputed (N, deg_max) vertex->face adjacency, padded with
@@ -213,7 +295,34 @@ def compute_norm(verts, faces, n_vertices: int, adj=None,
     ~1 element/cycle and dominated geometry time; without adj the
     segment_sum fallback is used (arbitrary meshes at load time get
     adjacency from utils.bfm.vertex_face_adjacency anyway).
+
+    With `corner_adj_cm` (DeviceBFM.vertex_corner_adj_cm) the whole path
+    runs in PLANE form: per-component minor-axis gathers for both the
+    corner fetch and the accumulation, with gather-based adjoints — the
+    row-gather form cost 7.3 ms/128 at 224px vs ~2 in plane form
+    (benchmarks/gather_probe.py: TPU gathers pay per row, not per byte).
+    Same float ops on the same values, so the result is bit-identical.
     """
+    if corner_adj_cm is not None and adj is not None:
+        f = faces.shape[0]
+        idx_cm = jnp.transpose(faces).reshape(-1)           # corner-major
+        planes = tuple(verts[..., k] for k in range(3))     # (B, N) each
+        cx, cy, cz = take_corner_planes(planes, idx_cm, corner_adj_cm)
+
+        def corner(p, c):
+            return p[..., c * f:(c + 1) * f]
+
+        ax = corner(cx, 1) - corner(cx, 0)                  # v1 - v0
+        ay = corner(cy, 1) - corner(cy, 0)
+        az = corner(cz, 1) - corner(cz, 0)
+        bx = corner(cx, 2) - corner(cx, 0)                  # v2 - v0
+        by = corner(cy, 2) - corner(cy, 0)
+        bz = corner(cz, 2) - corner(cz, 0)
+        fn = (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+        vn = _accumulate_fn_planes(fn, adj[:, :], faces)
+        vert_n = jnp.stack(vn, axis=-1)                     # (B, N, 3)
+        norm = jnp.linalg.norm(vert_n, axis=-1, keepdims=True)
+        return vert_n / jnp.maximum(norm, 1e-8)
     if corner_adj is not None:
         # scatter-free corner gather (incl. its backward)
         corners = take_corners(verts, faces.reshape(-1), corner_adj,
@@ -276,7 +385,8 @@ def coeffs_to_geometry(c: Coeffs, bfm: DeviceBFM,
     # normals rotate with the mesh: compute in canonical frame, rotate
     normals = compute_norm(shape, bfm.faces, n_vertices,
                            adj=bfm.vertex_face_adj,
-                           corner_adj=bfm.vertex_corner_adj)
+                           corner_adj=bfm.vertex_corner_adj,
+                           corner_adj_cm=bfm.vertex_corner_adj_cm)
     normals = jnp.einsum("bni,bji->bnj", normals, rot, precision=_F32)
     return Geometry(
         shape=shape,

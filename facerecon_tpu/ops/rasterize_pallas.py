@@ -690,9 +690,13 @@ def _band_windows(verts_ndc, row_faces, row_id, height, width, tile_h,
     rows = padded_rows(f)
     # field-major assembly [setup 12 | id 1 | pad 3] in ONE stack: each
     # field row is minor-axis padded first (dead rows: wc0/wc1 = -inf so
-    # pads never cover), then all 16 rows materialize together — piecewise
-    # axis-1 concats at sublane offsets paid read-modify-write tile
-    # amplification
+    # pads never cover), then all 16 rows materialize together. KEEP THIS
+    # FORM: stack-then-pad-once (+ a strided .at[].set for the -inf rows)
+    # was tried round 5 and measured windows 6.8 -> 13.8 ms/128 — XLA
+    # fuses the per-field pads into the stack, while the post-stack pad
+    # and the strided row update each rewrite the whole (B, 16, rows)
+    # array. (Piecewise axis-1 concats at sublane offsets are the other
+    # known-bad form: read-modify-write tile amplification.)
     idf = jnp.broadcast_to(row_id.astype(jnp.float32)[None, :], (bsz, f))
     zerof = jnp.zeros((bsz, f), jnp.float32)
     flds = list(setup.coeffs_t) + [idf] + [zerof] * (_ROW_PAD - 13)
@@ -1279,14 +1283,15 @@ def _pack_contract_records(coeffs_t, row_id, pad_rows: int):
     b, f = coeffs_t[0].shape
     pad = pad_rows - f
 
-    def pd(a):
-        return jnp.pad(a, ((0, 0), (0, pad)))
-
     z_sp = [_split3(coeffs_t[k]) for k in (6, 7, 8)]      # za, zb, zc
     w_sp = [_split3(coeffs_t[k]) for k in range(6)]       # wa0..wc1
     x_sp = _split3(coeffs_t[9])
     y_sp = _split3(coeffs_t[10])
+    def pd(a):
+        return jnp.pad(a, ((0, 0), (0, pad)))
+
     zero = jnp.zeros((b, pad_rows), jnp.float32)
+    # pad-each-then-stack (the fused form; see _pack_split_records)
     parts = ([pd(p) for z in z_sp for p in z] + [zero] * 9
              + [pd(w[0]) for w in w_sp] + [pd(w[1]) for w in w_sp]
              + [pd(w[2]) for w in w_sp]

@@ -77,30 +77,35 @@ def _render_fields(verts_ndc, radiance, faces, height: int, width: int,
     [radiance corners r00..r22 (9, corner-major) | affine w-coefficients
     wa0, wb0, wc0, wa1, wb1, wc1 | anchor x0, y0].
 
-    The affine coefficients are computed HERE, from the differentiable
-    vertex positions, with the same float ops as the rasterizer's setup
-    (ops/binning.affine_forms) — so the per-pixel barycentrics
-    reconstructed from the selected record equal the rasterizer's exactly
-    AND carry dL/dV_xy without any corner-recompute detour. The shared
-    producer of BOTH packs below, so the gather (~6 ms/128 at 224px)
-    never runs twice."""
+    The gather runs in PLANE form — five independent (B, 3F) <- (B, N)
+    minor-axis gathers — because TPU gathers pay per ROW, not per byte:
+    the previous (B, 3F, 5) row gather measured 5.5 ms/128 at 224px
+    alone while all five planes together measure ~1.6
+    (benchmarks/gather_probe.py). Corner blocks are then contiguous
+    minor-axis slices. The affine coefficients are computed HERE, from
+    the differentiable vertex positions, with the same float ops as the
+    rasterizer's setup (ops/binning) — so the per-pixel barycentrics
+    reconstructed from the selected record equal the rasterizer's
+    exactly AND carry dL/dV_xy without any corner-recompute detour."""
     from facerecon_tpu.ops.binning import affine_forms
     screen = rasterize_jnp.ndc_to_screen(verts_ndc, height, width)  # (B,N,2)
     f = faces.shape[0]
-    per_vert = jnp.concatenate([radiance, screen], axis=-1)   # (B, N, 5)
+    planes = (radiance[..., 0], radiance[..., 1], radiance[..., 2],
+              screen[..., 0], screen[..., 1])                 # (B, N) x5
     idx = jnp.transpose(faces).reshape(-1)                    # corner-major
     if corner_adj is not None:
-        # gather-adjoint take (geometry.take_corners): jnp.take's natural
-        # VJP is a scatter-add (~element/cycle on TPU, ~35 ms/32 in the
-        # training backward); corner_adj must be the CORNER-MAJOR
-        # row-ordered table matching idx (DeviceBFM.raster_corner_adj)
-        from facerecon_tpu.ops.geometry import take_corners
-        corners = take_corners(per_vert, idx, corner_adj, 0)  # (B, 3F, 5)
+        # gather-adjoint plane takes (geometry.take_corner_planes):
+        # jnp.take's natural VJP is a scatter-add (~element/cycle on TPU,
+        # ~35 ms/32 in the training backward); corner_adj must be the
+        # CORNER-MAJOR row-ordered table matching idx
+        # (DeviceBFM.raster_corner_adj)
+        from facerecon_tpu.ops.geometry import take_corner_planes
+        corners = take_corner_planes(planes, idx, corner_adj)
     else:
-        corners = jnp.take(per_vert, idx, axis=1)             # (B, 3F, 5)
+        corners = tuple(jnp.take(p, idx, axis=-1) for p in planes)
 
     def fld(c, k):
-        return corners[:, c * f:(c + 1) * f, k]               # (B, F)
+        return corners[k][:, c * f:(c + 1) * f]               # (B, F)
 
     p0 = jnp.stack([fld(0, 3), fld(0, 4)], axis=-1)           # (B, F, 2)
     p1 = jnp.stack([fld(1, 3), fld(1, 4)], axis=-1)
@@ -159,6 +164,9 @@ def _pack_split_records(fields, row_id, pad_rows: int):
     w_sp = [_split3(w) for w in fields[9:15]]         # [(p0,p1,p2)] x 6
     x_sp = _split3(fields[15])
     y_sp = _split3(fields[16])
+    # pad-each-then-stack: XLA fuses the per-part pads into the stack;
+    # the stack-then-pad-once form was tried round 5 and measured ~2.4
+    # ms/128 SLOWER (the post-stack pad rewrites the whole array)
     parts = ([pd(h) for h, _ in rad_sp] + [pd(l) for _, l in rad_sp]
              + [pd(w[0]) for w in w_sp] + [pd(w[1]) for w in w_sp]
              + [pd(w[2]) for w in w_sp]
@@ -173,7 +181,8 @@ def _pack_split_records(fields, row_id, pad_rows: int):
                              (b, pad_rows))
             for a in (rid & 255, (rid >> 8) & 255, rid >> 16,
                       rowi & 255, (rowi >> 8) & 255, rowi >> 16)]
-    return jnp.stack(list(parts) + stat, axis=1)      # (B, 48, rows)
+    return jnp.stack([p.astype(jnp.bfloat16) for p in parts] + stat,
+                     axis=1)                          # (B, 48, rows)
 
 
 def _shade_from_sel(tri_id, sel, height: int, width: int):

@@ -322,3 +322,24 @@ def test_pack_split_records_matches_split_of_pack24(cfg, assets, rng):
     got = _pack_split_records(fields, rid, pad_rows)
     assert got.dtype == ref.dtype and got.shape == ref.shape
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_contract_path_row_order_matches_identity(cfg, assets, rng):
+    """rasterize_batch (the §9.5 contract path, routed through the fused
+    select kernel with the z/w-affine contract record) must produce the
+    SAME (tri_id, bary, zbuf) under the asset's raster row order + column
+    tiles as under identity order/1 column — the id-valued tie rule and
+    the exact bf16 record splits make the output row-order-invariant."""
+    bfm, _, geom = _geom(cfg, assets, rng, batch=2)
+    h = w = cfg.image_size
+    tid_a, bary_a, z_a = RP.rasterize_batch(
+        geom.verts_ndc, bfm.faces, height=h, width=w, tile_h=cfg.tile_h)
+    tid_b, bary_b, z_b = RP.rasterize_batch(
+        geom.verts_ndc, bfm.faces, height=h, width=w, tile_h=cfg.tile_h,
+        n_cols=cfg.raster_cols, row_faces=bfm.raster_rows,
+        row_id=bfm.raster_row_id)
+    assert np.array_equal(np.asarray(tid_a), np.asarray(tid_b))
+    np.testing.assert_array_equal(np.asarray(bary_a), np.asarray(bary_b))
+    cov = np.asarray(tid_a) >= 0
+    np.testing.assert_array_equal(np.asarray(z_a)[cov],
+                                  np.asarray(z_b)[cov])
