@@ -190,14 +190,17 @@ def _tcp_fwd(planes, faces_flat, corner_adj):
 
 def _tcp_bwd(res, g):
     corner_adj, pshape = res
-    n_vertices, deg = pshape[-1], corner_adj.shape[1]
+    deg = corner_adj.shape[1]
 
     def one(gp):
+        # per-slot gathers (see _accumulate_fn_planes: a (B, N, deg)
+        # reshape-sum pads deg to 128 lanes); same summation order
         g_pad = jnp.concatenate(
             [gp, jnp.zeros((*gp.shape[:-1], 1), gp.dtype)], axis=-1)
-        picked = jnp.take(g_pad, corner_adj.reshape(-1), axis=-1)
-        picked = picked.reshape(*gp.shape[:-1], n_vertices, deg)
-        return picked.sum(axis=-1)
+        total = jnp.take(g_pad, corner_adj[:, 0], axis=-1)
+        for k in range(1, deg):
+            total = total + jnp.take(g_pad, corner_adj[:, k], axis=-1)
+        return total
 
     return tuple(one(gp) for gp in g), None, None
 
@@ -264,10 +267,17 @@ def _accumulate_fn_planes(fn_planes, adj, faces):
     n_vertices, deg = adj.shape
 
     def one(p):
+        # per-slot gathers, NOT one (B, N*deg) gather + (B, N, deg) sum:
+        # the reshape's minor dim deg(~6) pads to 128 lanes in the TPU
+        # tiled layout (~21x traffic amplification if materialized);
+        # deg separate (B, N) minor-axis gathers fuse into the sum.
+        # Same k = 0..deg-1 summation order -> bit-identical.
         p_pad = jnp.concatenate(
             [p, jnp.zeros((*p.shape[:-1], 1), p.dtype)], axis=-1)
-        g = jnp.take(p_pad, adj.reshape(-1), axis=-1)
-        return g.reshape(*p.shape[:-1], n_vertices, deg).sum(axis=-1)
+        total = jnp.take(p_pad, adj[:, 0], axis=-1)
+        for k in range(1, deg):
+            total = total + jnp.take(p_pad, adj[:, k], axis=-1)
+        return total
 
     return tuple(one(p) for p in fn_planes)
 

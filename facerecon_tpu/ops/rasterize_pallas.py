@@ -688,23 +688,22 @@ def _band_windows(verts_ndc, row_faces, row_id, height, width, tile_h,
     cmask = setup.chunk_mask                # (B, n_bands, n_cols, _MWORDS)
 
     rows = padded_rows(f)
-    # field-major assembly [setup 12 | id 1 | pad 3] in ONE stack: each
-    # field row is minor-axis padded first (dead rows: wc0/wc1 = -inf so
-    # pads never cover), then all 16 rows materialize together. KEEP THIS
-    # FORM: stack-then-pad-once (+ a strided .at[].set for the -inf rows)
-    # was tried round 5 and measured windows 6.8 -> 13.8 ms/128 — XLA
-    # fuses the per-field pads into the stack, while the post-stack pad
-    # and the strided row update each rewrite the whole (B, 16, rows)
-    # array. (Piecewise axis-1 concats at sublane offsets are the other
-    # known-bad form: read-modify-write tile amplification.)
+    # field-major assembly [setup 12 | id 1 | pad 3]: ONE stack of the
+    # unpadded (B, F) blocks, then ONE minor-axis pad; the two -inf pad
+    # rows (wc0/wc1 — dead rows must never cover) via a strided row-slice
+    # set. NB the ISOLATED windows probe prefers pad-each-then-stack
+    # (8.2 vs 13.8 ms/128) but the FULL CHAIN prefers this form (ishade
+    # 73.8 vs 81.1, headline 1295 vs 1228 — chain fusion differs from
+    # the probe's); trust the chain. Piecewise axis-1 concats at sublane
+    # offsets remain the known-worst form (RMW tile amplification).
     idf = jnp.broadcast_to(row_id.astype(jnp.float32)[None, :], (bsz, f))
     zerof = jnp.zeros((bsz, f), jnp.float32)
     flds = list(setup.coeffs_t) + [idf] + [zerof] * (_ROW_PAD - 13)
     pad = rows - f
-    coeffs = jnp.stack(
-        [jnp.pad(a, ((0, 0), (0, pad)),
-                 constant_values=-3e38 if k in (2, 5) else 0.0)
-         for k, a in enumerate(flds)], axis=1)   # (B, 16, rows)
+    coeffs = jnp.pad(jnp.stack(flds, axis=1),
+                     ((0, 0), (0, 0), (0, pad)))  # (B, 16, rows)
+    if pad:
+        coeffs = coeffs.at[:, 2:6:3, f:].set(-3e38)
     return (blo, bn), cmask.reshape(bsz, -1), coeffs
 
 

@@ -157,32 +157,31 @@ def _pack_split_records(fields, row_id, pad_rows: int):
     b, f = fields[0].shape
     pad = pad_rows - f
 
-    def pd(a):
-        return jnp.pad(a, ((0, 0), (0, pad)))
-
     rad_sp = [_split2(r) for r in fields[0:9]]        # [(hi, lo)] x 9
     w_sp = [_split3(w) for w in fields[9:15]]         # [(p0,p1,p2)] x 6
     x_sp = _split3(fields[15])
     y_sp = _split3(fields[16])
-    # pad-each-then-stack: XLA fuses the per-part pads into the stack;
-    # the stack-then-pad-once form was tried round 5 and measured ~2.4
-    # ms/128 SLOWER (the post-stack pad rewrites the whole array)
-    parts = ([pd(h) for h, _ in rad_sp] + [pd(l) for _, l in rad_sp]
-             + [pd(w[0]) for w in w_sp] + [pd(w[1]) for w in w_sp]
-             + [pd(w[2]) for w in w_sp]
-             + [pd(p) for p in x_sp] + [pd(p) for p in y_sp])
+    parts = ([h for h, _ in rad_sp] + [l for _, l in rad_sp]
+             + [w[0] for w in w_sp] + [w[1] for w in w_sp]
+             + [w[2] for w in w_sp] + list(x_sp) + list(y_sp))
+    # ONE stack of the unpadded 42 dynamic parts + ONE minor-axis zero
+    # pad (split(0) = 0, so padding commutes with the splits). The
+    # isolated probe prefers pad-each-then-stack but the FULL CHAIN
+    # measures this form ~7 ms/128 faster (see _band_windows note).
+    dyn = jnp.pad(jnp.stack([p.astype(jnp.bfloat16) for p in parts],
+                            axis=1), ((0, 0), (0, 0), (0, pad)))
     # id / raster-row byte rows (static per asset; see _split_records:
     # slack rows key to the unmatchable 0xFFFFFF sentinel, row bytes give
     # the backward its one-hot key)
     rid = jnp.full((pad_rows,), 0xFFFFFF,
                    jnp.int32).at[:row_id.shape[0]].set(row_id + 1)
     rowi = jnp.arange(pad_rows, dtype=jnp.int32) + 1
-    stat = [jnp.broadcast_to(a.astype(jnp.bfloat16)[None, :],
-                             (b, pad_rows))
-            for a in (rid & 255, (rid >> 8) & 255, rid >> 16,
-                      rowi & 255, (rowi >> 8) & 255, rowi >> 16)]
-    return jnp.stack([p.astype(jnp.bfloat16) for p in parts] + stat,
-                     axis=1)                          # (B, 48, rows)
+    stat = jnp.stack([a.astype(jnp.bfloat16)
+                      for a in (rid & 255, (rid >> 8) & 255, rid >> 16,
+                                rowi & 255, (rowi >> 8) & 255,
+                                rowi >> 16)], axis=0)       # (6, rows)
+    stat = jnp.broadcast_to(stat[None], (b, 6, pad_rows))
+    return jnp.concatenate([dyn, stat], axis=1)       # (B, 48, rows)
 
 
 def _shade_from_sel(tri_id, sel, height: int, width: int):
