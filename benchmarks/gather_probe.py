@@ -63,6 +63,23 @@ def main():
     timed("lanes 6x(B,3F) <- 6x(B,N)", lambda x: sum(
         jnp.sum(jnp.take(x * (1.0 + k * 1e-30), idx, axis=1))
         for k in range(6)), pv1)
+    # PER-IMAGE index gathers (take_along_axis): the select-by-gather
+    # candidate — kernel emits per-pixel winner ROW, XLA gathers the
+    # shading fields from (B, rows) f32 planes. Indices differ per
+    # image (unlike every case above), so this is a batched gather.
+    px, rows = 50176, 70657
+    pvr = jnp.asarray(rng.random((batch, rows)), jnp.float32)
+    pvr16 = jnp.asarray(rng.random((batch, 16, rows)), jnp.float32)
+    bidx = jnp.asarray(rng.integers(0, rows, size=(batch, px)), jnp.int32)
+
+    timed("talax (B,px) <- (B,rows)", lambda x: jnp.sum(
+        jnp.take_along_axis(x, bidx, axis=1)), pvr)
+    timed("talax 16x(B,px) <- 16x(B,rows)", lambda x: sum(
+        jnp.sum(jnp.take_along_axis(x * (1.0 + k * 1e-30), bidx, axis=1))
+        for k in range(16)), pvr)
+    timed("talax (B,16,px) <- (B,16,rows)", lambda x: jnp.sum(
+        jnp.take_along_axis(x, bidx[:, None, :], axis=2)), pvr16)
+
     # one_hot matmul form: (3F, N) one-hot @ (B, N, C) - MXU gather
     # (prohibitive memory at full size; scaled-down sanity only)
     # adjacency-style: (B,N,deg,3) <- (B,F,3) rows

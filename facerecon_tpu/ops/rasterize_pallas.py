@@ -149,9 +149,10 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
     accumulators and ONE cross-lane reduction runs per column. Ties
     compare the carried ORIGINAL face id (setup field 12), so the
     oracle's lowest-id rule holds under any row order. Pixels are
-    COLUMN-BLOCKED y-major within the band (pix = col*col_px + y*col_w
-    + x): column tiles are contiguous sublane ranges and the unband
-    relayout keeps col_w minor. No vector state ever rides a fori_loop
+    ROW-MAJOR within the band (pix = y*tile_w + col*col_w + x, round 5)
+    so the caller's unband is a pure reshape; each column's y-major
+    results scatter into tile_h static col_w-row runs at store time.
+    No vector state ever rides a fori_loop
     (a vector-carried loop costs ~1.1 us PER ITERATION in VMEM
     round-trips).
     Phase 2 (select, optional): per live 16-chunk (2048-lane) group, one
@@ -232,16 +233,18 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         cmask = [[cmask_ref[b, (t * n_cols + c) * _MWORDS + w]
                   for w in range(_MWORDS)] for c in range(n_cols)]
 
-        # pixel coordinates, COLUMN-BLOCKED y-major within the band
-        # (pix = col*col_px + y*col_w + x): column tiles are contiguous
-        # sublane ranges AND the unband relayout keeps col_w as the minor dim
-        # (a pure reshape at n_cols=1). (band_px, 1) pixel columns broadcast
-        # against (1, lanes) coefficient rows.
+        # pixel coordinates, ROW-MAJOR within the band (pix = y*tile_w +
+        # col*col_w + x, round 5): the caller's unband is then a PURE
+        # RESHAPE — the old column-blocked order (pix = col*col_px +
+        # y*col_w + x) needed a (n_cols, tile_h)-swapping relayout after
+        # EVERY kernel (fwd select/shade AND the banding of the backward's
+        # cotangent), ~205 MB a pass at 224px/128. Column tiles keep their
+        # own y-major (col_px, 1) accumulators; only the final per-column
+        # STORE scatters into tile_h row runs (static col_w-row slices).
+        # (band_px, 1) pixel columns broadcast against (1, lanes) rows.
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (band_px, 1), 0)
-        in_col = pix_i % col_px
-        px = ((pix_i // col_px) * col_w + in_col % col_w).astype(
-            jnp.float32) + 0.5
-        py = ((in_col // col_w).astype(jnp.float32)
+        px = (pix_i % tile_w).astype(jnp.float32) + 0.5
+        py = ((pix_i // tile_w).astype(jnp.float32)
               + jnp.float32(t * tile_h) + 0.5)
         cpix_i = jax.lax.broadcasted_iota(jnp.int32, (col_px, 1), 0)
         cpy = ((cpix_i // col_w).astype(jnp.float32)
@@ -278,9 +281,8 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         # in O(1): dead columns (35% at 224px/4cols) cost one check.
         for c in range(n_cols) if "eval" not in abl else []:
             cpx = (cpix_i % col_w).astype(jnp.float32) + (c * col_w + 0.5)
-            sl = slice(c * col_px, (c + 1) * col_px)
 
-            def column(c=c, cpx=cpx, sl=sl):
+            def column(c=c, cpx=cpx):
                 scr_az[...] = jnp.full((col_px, _CHUNK), jnp.inf,
                                        jnp.float32)
                 scr_ai[...] = jnp.full((col_px, _CHUNK), 3e38, jnp.float32)
@@ -336,8 +338,17 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
                 zmin = jnp.min(az, axis=1, keepdims=True)   # (col_px, 1)
                 idw = jnp.min(jnp.where(az == zmin, ai, 3e38),
                               axis=1, keepdims=True)
-                scr_zb[sl] = zmin
-                scr_pb[sl] = jnp.where(zmin < 3e37, idw, -1.0)
+                pb = jnp.where(zmin < 3e37, idw, -1.0)
+                # scatter the column's y-major (col_px, 1) results into
+                # the band's row-major pixel order: tile_h static
+                # col_w-row runs (col_w % 8 == 0 keeps them
+                # sublane-aligned; see col_width)
+                for y in range(tile_h):
+                    dst = y * tile_w + c * col_w
+                    scr_zb[dst:dst + col_w] = zmin[y * col_w:
+                                                   (y + 1) * col_w]
+                    scr_pb[dst:dst + col_w] = pb[y * col_w:
+                                                 (y + 1) * col_w]
 
             # dead column: the band-wide inf/-1 init already holds
             pl.when((cmask[c][0] | cmask[c][1] if _MWORDS == 2
@@ -520,10 +531,8 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
                 return row(18 + k) + row(24 + k) + row(30 + k)
 
             pixr = jax.lax.broadcasted_iota(jnp.int32, (1, band_px), 1)
-            in_colr = pixr % col_px
-            pxr = ((pixr // col_px) * col_w + in_colr % col_w).astype(
-                jnp.float32) + 0.5
-            pyr = ((in_colr // col_w).astype(jnp.float32)
+            pxr = (pixr % tile_w).astype(jnp.float32) + 0.5
+            pyr = ((pixr // tile_w).astype(jnp.float32)
                    + jnp.float32(t * tile_h) + 0.5)
             x0 = row(36) + row(37) + row(38)
             y0 = row(39) + row(40) + row(41)
@@ -709,25 +718,34 @@ def _band_windows(verts_ndc, row_faces, row_id, height, width, tile_h,
 
 def _unband(arr, bsz, n_bands, tile_h, tile_w, n_cols, height, width,
             fields=None):
-    """Invert the kernel's COLUMN-BLOCKED y-major band layout
-    (pix = col*col_px + y*col_w + x) back to (B, [F,] H, W): a transpose
-    that swaps (n_cols, tile_h) while keeping col_w the MINOR dim — a
-    padded-copy-free relayout (and a pure reshape at n_cols=1; a minor
-    dim of tile_h=2 would pad 64x in the TPU tiled layout and was
-    measured 3-30x the whole kernel's cost)."""
-    col_w = tile_w // n_cols
+    """Invert the kernel's ROW-MAJOR band pixel layout (pix = y*tile_w +
+    col*col_w + x) back to (B, [F,] H, W): a PURE RESHAPE + crop. The
+    kernel emitted column-blocked order through round 4 and this was a
+    (n_cols, tile_h)-swapping relayout (~205 MB a pass at 224px/128) on
+    every kernel output; the round-5 in-kernel store remap moved that
+    cost to tile_h static scratch stores."""
+    del n_cols
     if fields is None:
-        a = arr.reshape(bsz, n_bands, n_cols, tile_h, col_w)
-        a = jnp.transpose(a, (0, 1, 3, 2, 4))
-        return a.reshape(bsz, n_bands * tile_h, tile_w)[:, :height, :width]
-    a = arr.reshape(bsz, fields, n_bands, n_cols, tile_h, col_w)
-    a = jnp.transpose(a, (0, 1, 2, 4, 3, 5))
-    return a.reshape(bsz, fields, n_bands * tile_h,
-                     tile_w)[:, :, :height, :width]
+        a = arr.reshape(bsz, n_bands * tile_h, tile_w)
+        return a[:, :height, :width]
+    a = arr.reshape(bsz, fields, n_bands * tile_h, tile_w)
+    return a[:, :, :height, :width]
 
 
 def _identity_rows(faces):
     return faces, jnp.arange(faces.shape[0], dtype=jnp.int32)
+
+
+def banded_plane(packed, k, height, width, tile_h):
+    """Field k of a BANDED kernel output (B, n_bands, F, band_px) as a
+    cropped (B, height, width) image plane — slice + pure reshape (the
+    kernel's band pixel order is row-major), NO field-axis transpose:
+    decoding plane-by-plane from the banded output replaced the round-4
+    (0,2,1,3) transpose + unband relayout pair (~2x 205 MB a pass)."""
+    bsz, n_bands, _, band_px = packed.shape
+    tile_w = band_px // tile_h
+    a = packed[:, :, k, :].reshape(bsz, n_bands * tile_h, tile_w)
+    return a[:, :height, :width]
 
 
 @functools.partial(
@@ -801,13 +819,12 @@ def rasterize_positions(verts_ndc, faces, *, height: int, width: int,
         interpret=_interpret(),
     )(blo, bn, cmask, setup_t)[0]
 
-    packed = jnp.transpose(packed, (0, 2, 1, 3))
-    packed = _unband(packed.reshape(bsz, _OUT_P, n_bands * band_px),
-                     bsz, n_bands, tile_h, tile_w, n_cols, height, width,
-                     fields=_OUT_P).astype(jnp.float32)
-    pos = (packed[:, 0] + packed[:, 1] * 256.0
-           + packed[:, 2] * 65536.0).astype(jnp.int32) - 1
-    zbuf = packed[:, 3] + packed[:, 4] + packed[:, 5]   # exact 3-part sum
+    def pf(k):
+        return banded_plane(packed, k, height, width,
+                            tile_h).astype(jnp.float32)
+
+    pos = (pf(0) + pf(1) * 256.0 + pf(2) * 65536.0).astype(jnp.int32) - 1
+    zbuf = pf(3) + pf(4) + pf(5)                        # exact 3-part sum
     # ids beyond the live face count are dead padding (can never win —
     # but guard anyway); pos IS the face id in original order
     hit = (pos >= 0) & (pos < faces.shape[0])
@@ -826,10 +843,11 @@ def _fused_impl(rec_t, verts_ndc, row_faces, row_id, *, n_faces: int,
     """Forward of the fused raster+select: rec_t (B,48,rows) PRE-SPLIT
     bf16 kernel records in raster row order (rows = padded_rows(F');
     _split_records layout), verts_ndc non-differentiable positions ->
-    (tri_id (B,H,W) original face ids, sel (B,48,H,W) pre-split winner
-    record, band union windows). No zbuf: depth has no gradient and no
-    training consumer (§9.6); rasterize_batch serves the §9.5 zbuf
-    contract."""
+    (tri_id (B,H,W) original face ids, sel BANDED
+    (B, n_bands, 48, band_px) f32 pre-split winner record — plane k of
+    the image is banded_plane(sel, k, ...), a slice + pure reshape —
+    band union windows). No zbuf: depth has no gradient and no training
+    consumer (§9.6); rasterize_batch serves the §9.5 zbuf contract."""
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
@@ -887,18 +905,20 @@ def _fused_impl(rec_t, verts_ndc, row_faces, row_id, *, n_faces: int,
         interpret=_interpret(),
     )(blo, bn, cmask, setup_t, rec_t)[0]
 
-    # field-major relayout keeps the pixel axis minor throughout (the
-    # (0,2,1,3) transpose moves whole rows; the old pixel-major output's
-    # (0,3,1,2) moved the 56-field axis off the lanes — ~20 ms/128)
-    packed = jnp.transpose(packed, (0, 2, 1, 3))
-    packed = _unband(packed.reshape(bsz, _RFIELDS, n_bands * band_px),
-                     bsz, n_bands, tile_h, tile_w, n_cols, height, width,
-                     fields=_RFIELDS)
+    # the select output stays BANDED (B, n_bands, 48, band_px): the
+    # kernel's band pixel order is row-major (round 5), so every consumer
+    # decodes plane k by slice + pure reshape (banded_plane) — no
+    # field-axis transpose, no unband relayout (the round-4 pair cost
+    # ~2x 205 MB a pass), and the backward's cotangent arrives already
+    # banded, exactly the layout the adjoint kernel DMAs. f32 here keeps
+    # the custom-VJP boundary (and thus the cotangent) full-precision.
     prec = packed.astype(jnp.float32)
     # winner id + 1 rides the selected record's byte fields (42:45);
     # 0 = background (the zero record — its one-hot key matches nothing)
-    pos = (prec[:, 42] + prec[:, 43] * 256.0
-           + prec[:, 44] * 65536.0).astype(jnp.int32) - 1
+    pos = (banded_plane(prec, 42, height, width, tile_h)
+           + banded_plane(prec, 43, height, width, tile_h) * 256.0
+           + banded_plane(prec, 44, height, width, tile_h)
+           * 65536.0).astype(jnp.int32) - 1
     hit = (pos >= 0) & (pos < n_faces)
     pos = jnp.where(hit, pos, -1)
     # (blo, bn) ride along for the VJP residuals: re-binning in _rs_fwd
@@ -992,13 +1012,9 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
         interpret=_interpret(),
     )(blo, bn, cmask, setup_t, rec_t)[0]
 
-    packed = jnp.transpose(packed, (0, 2, 1, 3))
-    packed = _unband(packed.reshape(bsz, _OUT_S, n_bands * band_px),
-                     bsz, n_bands, tile_h, tile_w, n_cols, height, width,
-                     fields=_OUT_S)
-
     def plane(k):
-        return packed[:, k].astype(jnp.float32)
+        return banded_plane(packed, k, height, width,
+                            tile_h).astype(jnp.float32)
 
     pos = (plane(10).astype(jnp.int32)
            + plane(11).astype(jnp.int32) * 256
@@ -1023,9 +1039,10 @@ def rasterize_select(records, verts_ndc, faces, height: int, width: int,
     """Fused hard-visibility + per-pixel record select (the TPU render hot
     path): records (B, 24, padded_rows(F')) render attributes [radiance
     corners 9 | affine w-coeffs 6 | anchor 2 | pad] in raster row order ->
-    (tri_id, sel (B,48,H,W)),
-    where sel is the winner's pre-split record, FIELD-MAJOR so per-field
-    reads slice on the W-minor axis (_split_records layout; ops/render.py
+    (tri_id, sel BANDED (B, n_bands, 48, band_px) f32),
+    where sel is the winner's pre-split record in the kernel's row-major
+    band pixel order (_split_records field layout; plane k of the image
+    is banded_plane(sel, k, ...), a slice + pure reshape — ops/render.py
     reconstructs radiance/barycentrics/corners from it). No zbuf: depth
     carries no gradient (§9.6) and the §9.5 (tri_id, bary, zbuf) contract
     is rasterize_batch's.
@@ -1069,10 +1086,14 @@ def _rs_fwd(records, rec48, verts_ndc, row_faces, row_id, n_faces, height,
         n_cols=n_cols, cull_backfaces=cull_backfaces)
     # the winner's RASTER ROW rides the select in record fields 45:48
     # (see _split_records), so the backward keys its one-hot on a plain
-    # row iota — no raster-row -> face-id table, no id DMA
-    rowp = (prec[:, 45] + prec[:, 46] * 256.0
-            + prec[:, 47] * 65536.0).astype(jnp.int32) - 1
-    rowp = jnp.where(pos >= 0, rowp, -1)
+    # row iota — no raster-row -> face-id table, no id DMA. Kept BANDED
+    # (B, n_bands, band_px) — exactly the layout the adjoint kernel
+    # DMAs. Background pixels select the all-zero record (row decodes to
+    # -1, matches nothing); out-of-image pad pixels may carry a live row
+    # but their cotangent is identically zero (consumers only read
+    # cropped planes), so they add nothing to the adjoint dots.
+    rowp = (prec[:, :, 45] + prec[:, :, 46] * 256.0
+            + prec[:, :, 47] * 65536.0).astype(jnp.int32) - 1
     return (pos, prec), (rowp, records.shape, blo, bn)
 
 
@@ -1156,11 +1177,14 @@ def _grad_kernel(blo_ref, bhi_ref, pos_hbm, g_hbm, out_ref,
                                     "n_cols"))
 def _select_grad(pos, g_sel, blo, bn, *, rows: int, height: int,
                  width: int, tile_h: int, n_cols: int):
-    """pos (B,H,W) winner RASTER ROWS (-1 = background), g_sel
-    (B,48,H,W) cotangent, band union chunk windows -> d attribute-records
-    (B, 24, rows) field-major (raster row order): radiance lo-fields 9:18
-    and corner lo-fields of the split layout, group-blocked matmul
-    adjoint."""
+    """pos (B, n_bands, band_px) BANDED winner RASTER ROWS (-1 =
+    background), g_sel (B, n_bands, 48, band_px) BANDED cotangent, band
+    union chunk windows -> d attribute-records (B, 24, rows) field-major
+    (raster row order): radiance lo-fields 9:18 and corner lo-fields of
+    the split layout, group-blocked matmul adjoint. Since the round-5
+    row-major band pixel order, both inputs arrive ALREADY banded from
+    the forward (no re-banding transposes — the round-4 path relaid
+    ~820 MB of f32 cotangent per step here)."""
     bsz = pos.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     band_px = tile_h * tile_w
@@ -1178,26 +1202,14 @@ def _select_grad(pos, g_sel, blo, bn, *, rows: int, height: int,
     # every part but the LAST is a staircase of x (zero derivative a.e.),
     # so the last part's cotangent is the cotangent of x.
     g24 = jnp.concatenate(
-        [g_sel[:, 9:18],                   # radiance (lo part)
-         g_sel[:, 30:36],                  # w-coeffs (p2)
-         g_sel[:, 38:39], g_sel[:, 41:42],  # anchors x0, y0 (p2)
-         jnp.zeros_like(g_sel[:, :7])], axis=1)          # (B, 24, H, W)
-    pad_h = n_bands * tile_h - height
-    pad_w = tile_w - width
-    col_w = tile_w // n_cols
-    # column-blocked y-major band layout (pix = col*col_px + y*col_w + x),
-    # matching the forward kernel; col_w stays the minor dim throughout
-    g24 = jnp.pad(g24, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
-    g_b = g24.reshape(bsz, _FIELDS, n_bands, tile_h, n_cols, col_w)
-    g_b = jnp.transpose(g_b, (0, 2, 1, 4, 3, 5))
-    g_b = g_b.reshape(bsz, n_bands, _FIELDS, band_px)
-    g_b = jnp.pad(g_b, ((0, 0), (0, 0), (0, 0), (0, bpad)))
-    pos_p = jnp.pad(pos, ((0, 0), (0, pad_h), (0, pad_w)),
-                    constant_values=-1)
-    pos_b = pos_p.reshape(bsz, n_bands, tile_h, n_cols, col_w)
-    pos_b = jnp.transpose(pos_b, (0, 1, 3, 2, 4)).reshape(
-        bsz, n_bands, 1, band_px)
-    pos_b = jnp.pad(pos_b, ((0, 0), (0, 0), (0, 0), (0, bpad)),
+        [g_sel[:, :, 9:18],                    # radiance (lo part)
+         g_sel[:, :, 30:36],                   # w-coeffs (p2)
+         g_sel[:, :, 38:39], g_sel[:, :, 41:42],  # anchors x0, y0 (p2)
+         jnp.zeros_like(g_sel[:, :, :7])],
+        axis=2)                                # (B, n_bands, 24, band_px)
+    g_b = jnp.pad(g24, ((0, 0), (0, 0), (0, 0), (0, bpad)))
+    pos_b = jnp.pad(pos[:, :, None, :],
+                    ((0, 0), (0, 0), (0, 0), (0, bpad)),
                     constant_values=-1)
 
     # per 8-chunk group: the contiguous range of bands whose chunk window
@@ -1249,7 +1261,7 @@ def _select_grad(pos, g_sel, blo, bn, *, rows: int, height: int,
 def _rs_bwd(n_faces, height, width, tile_h, n_cols, cull_backfaces, res,
             g):
     rowp, rec_shape, blo, bn = res
-    _, g_sel = g                       # g_sel is field-major (B, 48, H, W)
+    _, g_sel = g            # g_sel is BANDED (B, n_bands, 48, band_px)
     # hi split parts are staircases of the source value (zero derivative
     # a.e.), so only the LO fields carry the cotangent — _select_grad
     # gathers them and runs the matmul adjoint (no scatter)
@@ -1345,8 +1357,8 @@ def rasterize_batch(verts_ndc, faces, *, height: int, width: int, cfg=None,
         cull_backfaces=cull_backfaces)
     hit = tri_id >= 0
 
-    def f(k):
-        return prec[:, k]
+    def f(k):       # banded (B, n_bands, 48, band_px) -> (B, H, W) plane
+        return banded_plane(prec, k, height, width, tile_h)
 
     def w(k):     # affine coefficient k: 3 exact bf16 parts = full f32
         return f(18 + k) + f(24 + k) + f(30 + k)

@@ -184,9 +184,12 @@ def _pack_split_records(fields, row_id, pad_rows: int):
     return jnp.concatenate([dyn, stat], axis=1)       # (B, 48, rows)
 
 
-def _shade_from_sel(tri_id, sel, height: int, width: int):
-    """Shade from the kernel's pre-split winner record, FIELD-MAJOR
-    (B,48,H,W) — layout in rasterize_pallas._split_records.
+def _shade_from_sel(tri_id, sel, height: int, width: int,
+                    tile_h: int = None):
+    """Shade from the kernel's pre-split winner record — BANDED
+    (B, n_bands, 48, band_px) f32 in the kernel's row-major band pixel
+    order (rasterize_pallas._split_records field layout): plane k of the
+    image is a slice + pure reshape, no field-axis transpose.
 
     Barycentrics evaluate the winner's anchored affine forms, whose
     coefficients were computed DIFFERENTIABLY at pack time and carried at
@@ -195,15 +198,19 @@ def _shade_from_sel(tri_id, sel, height: int, width: int):
     (SURVEY.md §9.6 — tri_id stays frozen, depth has no gradient).
     dL/dradiance flows through the selected radiance fields.
     """
+    from facerecon_tpu.ops.rasterize_pallas import banded_plane
+    if tile_h is None:
+        # bands cover the height exactly in whole tiles
+        tile_h = -(-height // sel.shape[1])
     jj, ii = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
     px = (jj + 0.5).astype(jnp.float32)[None]
     py = (ii + 0.5).astype(jnp.float32)[None]
 
-    # scalar field planes (B,H,W) from the field-major layout: slicing a
+    # scalar field planes (B,H,W) from the banded layout: slicing a
     # feature-MINOR array instead would materialize temps whose minor dim
     # pads to 128 lanes on TPU — 4 GB apiece at 512x512
     def f(k):
-        return sel[:, k]
+        return banded_plane(sel, k, height, width, tile_h)
 
     def w(k):     # affine coefficient k: 3 exact bf16 parts = full f32
         return f(18 + k) + f(24 + k) + f(30 + k)
@@ -326,7 +333,8 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
                 records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h,
                 n_cols=cfg.raster_cols, row_faces=bfm.raster_rows,
                 row_id=bfm.raster_row_id, rec48=rec48)
-            color, bary = _shade_from_sel(tri_id, sel, h, w)
+            color, bary = _shade_from_sel(tri_id, sel, h, w,
+                                          tile_h=cfg.tile_h)
     else:
         tri_id = rasterize_tiled.rasterize_batch(
             jax.lax.stop_gradient(geom.verts_ndc), bfm.faces, height=h,

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 from typing import Any, NamedTuple
@@ -85,10 +86,13 @@ def make_train_step(pipe, opt, use_landmarks: bool = True,
             opt_state=opt_state, step=state.step + 1)
         return new_state, parts
 
+    # donate the TrainState: the ~300 MB params+opt tree aliases in place
+    # instead of allocating fresh outputs every dispatch (callers always
+    # rebind `state = step(state, ...)`; CPU ignores donation harmlessly)
     if chunk == 1:
-        return jax.jit(one_step)
+        return jax.jit(one_step, donate_argnums=(0,))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def chunk_step(state: TrainState, bfm: DeviceBFM, images_k, lmk_k):
         def body(st, xs):
             im, lk = xs

@@ -22,6 +22,16 @@ from facerecon_tpu.utils.coeffs import split_coeff
 from conftest import make_coeff
 
 
+def _sel_img(sel, height, width, tile_h):
+    """BANDED (B, n_bands, 48, band_px) select output -> (B, 48, H, W)
+    numpy image planes (the kernel's band pixel order is row-major)."""
+    a = np.asarray(sel)
+    b, nb, nf, band_px = a.shape
+    tile_w = band_px // tile_h
+    a = a.transpose(0, 2, 1, 3).reshape(b, nf, nb * tile_h, tile_w)
+    return a[:, :, :height, :width]
+
+
 def _geom(cfg, assets, rng, batch=1, yaw=None):
     bfm = G.device_bfm(assets)
     coeff = make_coeff(cfg, rng, batch=batch)
@@ -113,7 +123,7 @@ def test_fused_select_matches_gather_path(cfg, assets, rng):
         RP.padded_rows(bfm.faces.shape[0]))
     tid, sel = RP.rasterize_select(
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
-    color_f, bary_f = _shade_from_sel(tid, sel, h, w)
+    color_f, bary_f = _shade_from_sel(tid, sel, h, w, tile_h=cfg.tile_h)
 
     tid_ref, _, _ = RP.rasterize_batch(
         geom.verts_ndc, bfm.faces, height=h, width=w, tile_h=cfg.tile_h)
@@ -124,9 +134,10 @@ def test_fused_select_matches_gather_path(cfg, assets, rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(bary_f), np.asarray(bary_r),
                                atol=1e-4)
-    # background pixels must select the zero record (sel is field-major)
+    # background pixels must select the zero record (sel is banded)
     bg = np.asarray(tid) < 0
-    assert np.all(np.moveaxis(np.asarray(sel), 1, -1)[bg] == 0.0)
+    sel_i = _sel_img(sel, h, w, cfg.tile_h)
+    assert np.all(np.moveaxis(sel_i, 1, -1)[bg] == 0.0)
 
 
 def test_fused_select_vjp_is_scatter_add(cfg, assets, rng):
@@ -147,7 +158,10 @@ def test_fused_select_vjp_is_scatter_add(cfg, assets, rng):
     def f(r):
         out = RP.rasterize_select(r, geom.verts_ndc, bfm.faces, h, w,
                                   cfg.tile_h)[1]
-        out = jnp.transpose(out, (0, 2, 3, 1))     # field-major -> minor
+        b, nb, nf, band_px = out.shape
+        tile_w = band_px // cfg.tile_h
+        out = jnp.transpose(out, (0, 1, 3, 2))     # banded, field-minor
+        out = out.reshape(b, nb * cfg.tile_h, tile_w, nf)[:, :h, :w]
         rad = out[..., 0:9] + out[..., 9:18]       # reconstructed radiance
         wcf = (out[..., 18:24] + out[..., 24:30]
                + out[..., 30:36])                  # affine w-coefficients
@@ -181,7 +195,7 @@ def test_shaded_matches_select_path(cfg, assets, rng):
         RP.padded_rows(bfm.faces.shape[0]))
     tid_s, sel = RP.rasterize_select(
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
-    color_s, bary_s = _shade_from_sel(tid_s, sel, h, w)
+    color_s, bary_s = _shade_from_sel(tid_s, sel, h, w, tile_h=cfg.tile_h)
 
     tid, color, bary = RP.rasterize_shaded(
         records, geom.verts_ndc, bfm.faces, height=h, width=w,
@@ -223,12 +237,12 @@ def test_raster_row_order_and_columns_match_identity(cfg, assets, rng):
         # fields 45:48 carry the winner's RASTER ROW bytes (the backward's
         # one-hot key) and legitimately differ between row orders; all
         # render-visible fields must be identical
-        np.testing.assert_array_equal(np.asarray(sel)[:, :45],
-                                      np.asarray(sel0)[:, :45])
+        sel_i = _sel_img(sel, h, w, cfg.tile_h)
+        sel0_i = _sel_img(sel0, h, w, cfg.tile_h)
+        np.testing.assert_array_equal(sel_i[:, :45], sel0_i[:, :45])
         # the row bytes decode to the PERMUTED winner row: row_id[row]
         # must equal the winner face id at every covered pixel
-        rsel = np.asarray(sel)
-        rown = (rsel[:, 45] + rsel[:, 46] * 256 + rsel[:, 47] * 65536
+        rown = (sel_i[:, 45] + sel_i[:, 46] * 256 + sel_i[:, 47] * 65536
                 ).astype(np.int64) - 1
         cov = np.asarray(tid) >= 0
         rid_np = np.asarray(rid)
@@ -239,13 +253,13 @@ def test_raster_row_order_and_columns_match_identity(cfg, assets, rng):
     def loss_id(r):
         _, sel = RP.rasterize_select(
             r, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
-        return jnp.sum(sel[:, 9:18] ** 2)
+        return jnp.sum(sel[:, :, 9:18] ** 2)
 
     def loss_rows(r):
         _, sel = RP.rasterize_select(
             r, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h, n_cols=4,
             row_faces=rows, row_id=rid)
-        return jnp.sum(sel[:, 9:18] ** 2)
+        return jnp.sum(sel[:, :, 9:18] ** 2)
 
     g_id = np.asarray(jax.grad(loss_id)(rec_id))     # (B, 24, rows)
     g_rows = np.asarray(jax.grad(loss_rows)(rec_rows))
