@@ -112,7 +112,7 @@ def main():
         pos, sel = RP.rasterize_select(
             records * (1.0 + seed * 1e-30), vndc, bfm.faces, h, w, tile_h,
             n_cols=n_cols, row_faces=row_faces, row_id=row_id)
-        color, bary = _shade_from_sel(pos, sel, h, w, tile_h=tile_h)
+        color, bary, _ = _shade_from_sel(pos, sel, h, w, tile_h=tile_h)
         return jnp.mean(color)
 
     def f_prep(vndc, records, seed):

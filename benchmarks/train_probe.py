@@ -77,7 +77,7 @@ def main():
             records, vndc, bfm.faces, h, w, cfg.tile_h,
             n_cols=cfg.raster_cols, row_faces=rows, row_id=rid,
             rec48=rec48)
-        color, _ = _shade_from_sel(tid, sel, h, w, tile_h=cfg.tile_h)
+        color, _, _ = _shade_from_sel(tid, sel, h, w, tile_h=cfg.tile_h)
         mask = (tid >= 0).astype(jnp.float32)
         img = color * mask[..., None] + tgt * (1 - mask[..., None])
         return photometric_loss(img, tgt, mask)

@@ -5,7 +5,9 @@ concatenated coefficient vector (BASELINE.json:5 "CNN 3DMM-coefficient
 regressor ... compiles to XLA"). TPU-first choices:
   - bfloat16 activations/conv compute (MXU-native), float32 params and
     float32 head output so coefficients keep full precision;
-  - BatchNorm in float32 for numerical stability;
+  - BatchNorm statistics in float32 (flax's forced-f32 reductions) with
+    BN input/output in the model dtype — f32 BN I/O measured as pure
+    activation-bandwidth fat in the stem/s1/s2 stages;
   - NHWC layout (XLA:TPU's preferred conv layout).
 
 The final dense head is zero-initialized so an untrained net predicts the
@@ -33,8 +35,14 @@ class BottleneckBlock(nn.Module):
     def __call__(self, x, train: bool):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32)
+        # BN I/O in the model dtype: flax computes the batch statistics in
+        # f32 regardless (normalization._compute_stats
+        # force_float32_reductions), so bf16 here only rounds the
+        # normalized output — and halves the elementwise HBM traffic of
+        # every BN+relu chain fwd AND bwd (the off-roofline fat in the
+        # stem/s1/s2 stages was exactly these f32 activation passes).
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         residual = x
         y = conv(self.features, (1, 1))(x)
         y = nn.relu(norm()(y))
@@ -63,7 +71,8 @@ class ResNetRegressor(nn.Module):
         x = nn.Conv(self.width, (7, 7), strides=(2, 2), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)  # f32 stats
+
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         for i, n_blocks in enumerate(self.stage_sizes):

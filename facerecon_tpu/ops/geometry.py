@@ -51,11 +51,18 @@ class DeviceBFM(NamedTuple):
                                  # adjoint table of the PLANE-form corner
                                  # gathers (take_corner_planes) used by
                                  # the normals path.
+    raster_skin: jnp.ndarray     # (3, F') f32: skin-mask value at each
+                                 # raster-row corner (skin_mask indexed by
+                                 # raster_rows, corner-major). Static per
+                                 # asset — rides the 56-row training
+                                 # select record so the photometric
+                                 # loss's skin mask needs no per-pixel
+                                 # gather (ops/render._pack_split_records)
 
 
 def device_bfm(assets) -> DeviceBFM:
     import numpy as np
-    derived = ("raster_corner_adj", "vertex_corner_adj_cm")
+    derived = ("raster_corner_adj", "vertex_corner_adj_cm", "raster_skin")
     vals = {f: jnp.asarray(getattr(assets, f))
             for f in DeviceBFM._fields if f not in derived}
     vca = np.asarray(assets.vertex_corner_adj)      # flat face*3+slot
@@ -71,6 +78,9 @@ def device_bfm(assets) -> DeviceBFM:
     vals["raster_corner_adj"] = jnp.asarray(rca.astype(np.int32))
     cm = np.where(vca >= 3 * n_f, 3 * n_f, (vca % 3) * n_f + face)
     vals["vertex_corner_adj_cm"] = jnp.asarray(cm.astype(np.int32))
+    rows = np.asarray(assets.raster_rows)          # (F', 3), pad rows
+    sk = np.asarray(assets.skin_mask, np.float32)  # point at vertex 0 etc.
+    vals["raster_skin"] = jnp.asarray(sk[rows.T])  # (3, F')
     return DeviceBFM(**vals)
 
 

@@ -442,7 +442,11 @@ def _kernel(blo_ref, bn_ref, cmask_ref, setup_hbm, *rest, tile_h: int,
         # in transpose+decode at 224px. The winner's id bytes arrive in
         # row form through the select itself (record fields 42:45), so
         # no (band_px, 1) -> (1, band_px) relayout is ever needed.
-        scr_acc[...] = jnp.zeros((_RFIELDS, band_px), jnp.float32)
+        # record height comes from the scratch shape: 48 (_RFIELDS) for
+        # inference records, 56 when the training record carries the
+        # skin-corner rows (48:54; ops/render._pack_split_records) — the
+        # select dot is one MXU tile for any height <= 128 either way
+        scr_acc[...] = jnp.zeros(scr_acc.shape, jnp.float32)
         posu_f = posbest + 1.0                   # 0 = background, f32-exact
 
         def sel_block(rec, pos_col=None, sl=slice(None)):
@@ -860,6 +864,11 @@ def _fused_impl(rec_t, verts_ndc, row_faces, row_id, *, n_faces: int,
     bpp = 1
     band_px = tile_h * tile_w
     col_px = band_px // n_cols
+    # record height: 48 (_RFIELDS) inference frame, or 56 when the
+    # training record appends the exact hi/lo skin-corner rows (the
+    # select's MXU dot is one <=128-row tile either way — measured
+    # row-count independent, STATUS round-5)
+    rfields = rec_t.shape[1]
 
     (blo, bn), cmask, coeffs = _band_windows(
         verts_ndc, row_faces, row_id, height, width, tile_h, n_cols,
@@ -883,23 +892,23 @@ def _fused_impl(rec_t, verts_ndc, row_faces, row_id, *, n_faces: int,
             scratch_shapes=[
                 pltpu.VMEM((_ROW_PAD, bpp * _WINDOW * _CHUNK),
                            jnp.float32),
-                pltpu.VMEM((_RFIELDS, bpp * _WINDOW * _CHUNK),
+                pltpu.VMEM((rfields, bpp * _WINDOW * _CHUNK),
                            jnp.bfloat16),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
-                pltpu.VMEM((_RFIELDS, band_px), jnp.float32),
+                pltpu.VMEM((rfields, band_px), jnp.float32),
                 pltpu.SemaphoreType.DMA((2 * bpp * (_WINDOW // _SEG),)),
             ],
             out_specs=[
-                pl.BlockSpec((1, bpp, _RFIELDS, band_px),
+                pl.BlockSpec((1, bpp, rfields, band_px),
                              lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, n_bands, _RFIELDS, band_px),
+            jax.ShapeDtypeStruct((bsz, n_bands, rfields, band_px),
                                  jnp.bfloat16),
         ],
         interpret=_interpret(),
@@ -956,8 +965,8 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
     # accept either the 24-field attribute record (legacy; split here)
     # or the 48-field pre-split kernel record (ops/render builds it
     # directly from the shared field blocks — one materialization)
-    rec_t = (records if records.shape[1] == _RFIELDS
-             else _split_records(records, row_id))
+    rec_t = (_split_records(records, row_id)
+             if records.shape[1] == _FIELDS else records)
     bsz = verts_ndc.shape[0]
     tile_w = col_width(width, n_cols) * n_cols
     n_bands = (height + tile_h - 1) // tile_h
@@ -990,13 +999,13 @@ def rasterize_shaded(records, verts_ndc, faces, *, height: int, width: int,
             scratch_shapes=[
                 pltpu.VMEM((_ROW_PAD, bpp * _WINDOW * _CHUNK),
                            jnp.float32),
-                pltpu.VMEM((_RFIELDS, bpp * _WINDOW * _CHUNK),
+                pltpu.VMEM((rec_t.shape[1], bpp * _WINDOW * _CHUNK),
                            jnp.bfloat16),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((band_px, 1), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
                 pltpu.VMEM((col_px, _CHUNK), jnp.float32),
-                pltpu.VMEM((_RFIELDS, band_px), jnp.float32),
+                pltpu.VMEM((rec_t.shape[1], band_px), jnp.float32),
                 pltpu.SemaphoreType.DMA((2 * bpp * (_WINDOW // _SEG),)),
             ],
             out_specs=[

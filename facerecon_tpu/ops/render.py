@@ -143,7 +143,7 @@ def _pack_render_records(verts_ndc, radiance, faces, height: int,
                                    width, corner_adj), pad_rows)
 
 
-def _pack_split_records(fields, row_id, pad_rows: int):
+def _pack_split_records(fields, row_id, pad_rows: int, skin=None):
     """(B, 48, pad_rows) bf16 PRE-SPLIT kernel record built directly
     from the (B, F) field blocks — ONE materialization (the old
     pack24 -> _split_records chain materialized the f32 24-stack just to
@@ -152,7 +152,18 @@ def _pack_split_records(fields, row_id, pad_rows: int):
     rasterize_pallas._split_records(_pack_render_records(...)): splits
     commute with zero padding (split(0) = 0), and each part is exactly
     bf16. NON-differentiable (bitcast truncations) — callers wrap in
-    stop_gradient and pass the _stack24 record as the gradient carrier."""
+    stop_gradient and pass the _stack24 record as the gradient carrier.
+
+    skin: optional STATIC (3, F) f32 per-corner skin-mask values in
+    raster-row order (DeviceBFM.raster_skin). When given, they ride the
+    record as hi/lo bf16 pairs in rows 48:51 / 51:54 (rel err
+    <= 2^-16, the radiance-field contract; the mask weights a loss) (pad to 56 —
+    the bf16 HBM sublane tile is 16, so 56 rows cost the same DMA as
+    51), and the select delivers each pixel's winner skin corners for
+    free: the per-pixel skin-mask gather they replace measured ~8.4 ns
+    PER INDEX on TPU (benchmarks/gather_probe.py), ~50 ms/128 at 224px
+    in the training-loss forward. The select's own cost is independent
+    of the record height up to one 128-row MXU tile (STATUS round-5)."""
     from facerecon_tpu.ops.rasterize_pallas import _split2, _split3
     b, f = fields[0].shape
     pad = pad_rows - f
@@ -180,6 +191,13 @@ def _pack_split_records(fields, row_id, pad_rows: int):
                       for a in (rid & 255, (rid >> 8) & 255, rid >> 16,
                                 rowi & 255, (rowi >> 8) & 255,
                                 rowi >> 16)], axis=0)       # (6, rows)
+    if skin is not None:
+        hi, lo = _split2(jnp.pad(skin, ((0, 0), (0, pad)))[None])
+        stat = jnp.concatenate(
+            [stat[None], hi, lo,
+             jnp.zeros((1, 2, pad_rows), jnp.bfloat16)], axis=1)[0]
+        stat = jnp.broadcast_to(stat[None], (b, 14, pad_rows))
+        return jnp.concatenate([dyn, stat], axis=1)   # (B, 56, rows)
     stat = jnp.broadcast_to(stat[None], (b, 6, pad_rows))
     return jnp.concatenate([dyn, stat], axis=1)       # (B, 48, rows)
 
@@ -232,7 +250,15 @@ def _shade_from_sel(tri_id, sel, height: int, width: int,
     # the stacked (B,H,W,3) materializes minor-dim-padded temps on TPU
     bary = jnp.stack([jnp.where(hit2, v, 0.0) for v in (w0, w1, w2)],
                      axis=-1)
-    return color, bary
+    if sel.shape[2] > 48:
+        # 56-row training record: winner skin corners ride rows 48:54
+        # as hi/lo pairs (static per asset — gradient flows through the
+        # barycentrics only, like the gather path it replaces)
+        sk = [jax.lax.stop_gradient(f(48 + k) + f(51 + k))
+              for k in range(3)]
+        skin = jnp.where(hit2, w0 * sk[0] + w1 * sk[1] + w2 * sk[2], 0.0)
+        return color, bary, skin
+    return color, bary, None
 
 
 def shade_packed(tri_id, verts_ndc, radiance, faces, height: int,
@@ -293,6 +319,8 @@ class RenderOut(NamedTuple):
     bary: jnp.ndarray         # (B,H,W,3) differentiable barycentrics
     radiance: jnp.ndarray     # (B,N,3) per-vertex shaded color
     geometry: Geometry
+    skin: Optional[jnp.ndarray] = None  # (B,H,W) interpolated skin mask
+    # (select-delivered on the TPU training path; None -> losses gather it)
 
 
 def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
@@ -317,9 +345,15 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
         pad_rows = rasterize_pallas.padded_rows(bfm.raster_rows.shape[0])
         # the kernel's pre-split record, built in ONE materialization
         # from the shared field blocks (non-differentiable bitcast
-        # splits — the _stack24 record below carries the gradient)
+        # splits — the _stack24 record below carries the gradient). The
+        # training record additionally carries the static skin-corner
+        # rows so the select delivers the loss's skin mask for free; the
+        # inference record stays 48 rows (no loss consumer, less DMA).
+        skin = None
         rec48 = jax.lax.stop_gradient(
-            _pack_split_records(fields, bfm.raster_row_id, pad_rows))
+            _pack_split_records(fields, bfm.raster_row_id, pad_rows,
+                                skin=None if inference
+                                else bfm.raster_skin))
         if inference:
             # forward-only path: shading finishes inside the kernel and
             # only 16 fields/pixel reach HBM (no gradient support)
@@ -333,9 +367,10 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
                 records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h,
                 n_cols=cfg.raster_cols, row_faces=bfm.raster_rows,
                 row_id=bfm.raster_row_id, rec48=rec48)
-            color, bary = _shade_from_sel(tri_id, sel, h, w,
-                                          tile_h=cfg.tile_h)
+            color, bary, skin = _shade_from_sel(tri_id, sel, h, w,
+                                                tile_h=cfg.tile_h)
     else:
+        skin = None
         tri_id = rasterize_tiled.rasterize_batch(
             jax.lax.stop_gradient(geom.verts_ndc), bfm.faces, height=h,
             width=w, tile_h=cfg.tile_h,
@@ -347,7 +382,7 @@ def render_geometry(geom: Geometry, gamma, bfm: DeviceBFM,
         background = jnp.zeros_like(color)
     image = color * mask[..., None] + background * (1.0 - mask[..., None])
     return RenderOut(image=image, mask=mask, tri_id=tri_id, bary=bary,
-                     radiance=radiance, geometry=geom)
+                     radiance=radiance, geometry=geom, skin=skin)
 
 
 def render_coeffs(coeffs: Coeffs, bfm: DeviceBFM, cfg: FaceReconConfig,

@@ -123,7 +123,7 @@ def test_fused_select_matches_gather_path(cfg, assets, rng):
         RP.padded_rows(bfm.faces.shape[0]))
     tid, sel = RP.rasterize_select(
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
-    color_f, bary_f = _shade_from_sel(tid, sel, h, w, tile_h=cfg.tile_h)
+    color_f, bary_f, _ = _shade_from_sel(tid, sel, h, w, tile_h=cfg.tile_h)
 
     tid_ref, _, _ = RP.rasterize_batch(
         geom.verts_ndc, bfm.faces, height=h, width=w, tile_h=cfg.tile_h)
@@ -195,7 +195,7 @@ def test_shaded_matches_select_path(cfg, assets, rng):
         RP.padded_rows(bfm.faces.shape[0]))
     tid_s, sel = RP.rasterize_select(
         records, geom.verts_ndc, bfm.faces, h, w, cfg.tile_h)
-    color_s, bary_s = _shade_from_sel(tid_s, sel, h, w, tile_h=cfg.tile_h)
+    color_s, bary_s, _ = _shade_from_sel(tid_s, sel, h, w, tile_h=cfg.tile_h)
 
     tid, color, bary = RP.rasterize_shaded(
         records, geom.verts_ndc, bfm.faces, height=h, width=w,
@@ -357,3 +357,35 @@ def test_contract_path_row_order_matches_identity(cfg, assets, rng):
     cov = np.asarray(tid_a) >= 0
     np.testing.assert_array_equal(np.asarray(z_a)[cov],
                                   np.asarray(z_b)[cov])
+
+
+def test_skin_record_select_matches_gather_mask(cfg, assets, rng):
+    """The 56-row training record's select-delivered skin mask must equal
+    the per-pixel gather it replaces (losses.skin_mask_image) to the
+    16-bit hi/lo split precision (rel err <= 2^-16, same contract as the
+    radiance fields): the skin corners ride rows 48:54, and the blend
+    uses the same barycentrics in the same corner order."""
+    from facerecon_tpu.ops.losses import skin_mask_image
+    from facerecon_tpu.ops.render import (RenderOut, _pack_split_records,
+                                          _render_fields, _stack24)
+    bfm, c, geom = _geom(cfg, assets, rng, batch=2)
+    h = w = cfg.image_size
+    radiance = sh_ops.illuminate(geom.texture, geom.normals, c.gamma)
+    rows, rid = bfm.raster_rows, bfm.raster_row_id
+    pad_rows = RP.padded_rows(rows.shape[0])
+    fields = _render_fields(geom.verts_ndc, radiance, rows, h, w,
+                            corner_adj=bfm.raster_corner_adj)
+    rec56 = _pack_split_records(fields, rid, pad_rows,
+                                skin=bfm.raster_skin)
+    assert rec56.shape[1] == 56
+    tid, sel = RP.rasterize_select(
+        _stack24(fields, pad_rows), geom.verts_ndc, bfm.faces, h, w,
+        cfg.tile_h, row_faces=rows, row_id=rid, rec48=rec56)
+    _, bary, skin = _shade_from_sel(tid, sel, h, w, tile_h=cfg.tile_h)
+    assert skin is not None
+    out = RenderOut(image=None, mask=(tid >= 0).astype(jnp.float32),
+                    tri_id=tid, bary=bary, radiance=None, geometry=None)
+    ref = skin_mask_image(out, bfm)
+    got = out.mask * skin
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5)
