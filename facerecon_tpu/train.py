@@ -21,6 +21,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from facerecon_tpu.config import FaceReconConfig, default_config, tiny_config
@@ -168,6 +169,25 @@ def run(args) -> dict:
                                    seed=args.seed + 1,
                                    pool=getattr(args, "data_pool", 0))
     data = prefetch(source, depth=2)
+
+    wire_u8 = not getattr(args, "wire_f32", False)
+
+    def stage_images(host_images):
+        """Host image batch -> device f32 [0,1], u8 on the wire.
+
+        The host->device link is the host-fed loop's whale, not the host
+        preprocessing: at batch-128/224px the f32 batch is 77 MB and the
+        steady-state step measured 1209 ms vs 258 ms with the batch sent
+        as uint8 and normalized on device (the same step is 268 ms with
+        device-resident data — u8 staging makes host-fed training
+        compute-bound). Sources are u8-decoded images, so the round trip
+        costs <= 0.5/255 quantization noise on interpolated warp values.
+        """
+        if not wire_u8:
+            return jnp.asarray(host_images)
+        q = (np.asarray(host_images) * 255.0 + 0.5).astype(np.uint8)
+        return jnp.asarray(q).astype(jnp.float32) / 255.0
+
     t0 = time.time()
     first_loss = last_loss = None
     # chunked dispatch runs whole chunks only: round the step budget DOWN
@@ -177,28 +197,35 @@ def run(args) -> dict:
     if chunk > 1 and args.steps % chunk:
         print(f"--steps {args.steps} is not a multiple of --chunk {chunk}: "
               f"running {n_iters * chunk} steps")
+    # throughput warmup: iter 0 compiles, and iter 1 typically RECOMPILES
+    # once more (the donated TrainState comes back with different buffer
+    # layouts than the freshly-initialized one) — exclude both, or short
+    # runs report compile time as throughput
+    warm = min(3, n_iters - 1)
     for i in range(n_iters):
         if chunk == 1:
             images, lmk, _ = next(data)
-            images, lmk = jnp.asarray(images), jnp.asarray(lmk)
+            images, lmk = stage_images(images), jnp.asarray(lmk)
             if multi:
                 images, lmk = pmesh.shard_batch(mesh, (images, lmk))
         else:
             batches = [next(data) for _ in range(chunk)]
-            images = jnp.stack([jnp.asarray(b[0]) for b in batches])
+            images = jnp.stack([stage_images(b[0]) for b in batches])
             lmk = jnp.stack([jnp.asarray(b[1]) for b in batches])
             if multi:
                 images, lmk = pmesh.shard_axis1(mesh, (images, lmk))
         state, parts = train_step(state, bfm, images, lmk)
         if i == 0:
-            jax.block_until_ready(parts["total"])
-            t0 = time.time()  # exclude compile from throughput
             first_loss = float(parts["total"])
+        if i == warm:
+            jax.block_until_ready(parts["total"])
+            t0 = time.time()  # exclude compiles from throughput
         if (i + 1) % args.log_every == 0 or i == n_iters - 1:
             last_loss = float(parts["total"])
-            # t0 is reset after iter 0 (compile excluded) -> i timed iters
-            rate = (cfg.batch_size * chunk * i
-                    / max(time.time() - t0, 1e-9) if i > 0 else float("nan"))
+            # t0 is reset after iter `warm` -> (i - warm) timed iters
+            rate = (cfg.batch_size * chunk * (i - warm)
+                    / max(time.time() - t0, 1e-9) if i > warm
+                    else float("nan"))
             print(json.dumps({
                 "step": (i + 1) * chunk,
                 **{k: round(float(v), 5) for k, v in parts.items()},
@@ -237,6 +264,10 @@ def main(argv=None):
                         "and epoch over them (0 = endless fresh stream, "
                         "which renders ground truth on-device each step)")
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--wire-f32", action="store_true",
+                   help="send image batches host->device as float32 "
+                        "instead of the default uint8 wire format (4x "
+                        "the transfer; see stage_images)")
     p.add_argument("--data-dir", default=None,
                    help="folder of (image, 68-landmark) pairs; omit for "
                         "the synthetic source")
