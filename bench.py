@@ -57,10 +57,14 @@ def render512():
     size = 512
     # 1-row bands at 512: the 512-lane column tile doubles the per-band
     # pixel count, so halve the band height to keep eval tiles VMEM-sized
+    # tile_h=2 x 8 cols (col_w=64, col_px=128 full vregs) measured 308.7
+    # faces/s vs 239 at the old 1x4 default — a config the looped
+    # chunk-eval body compile-unblocked (round 5); 1x8 overflows the
+    # 1 MiB SMEM scalar-prefetch budget at micro-32 (512 bands x 8 cols)
     cfg = default_config(image_size=size, focal=1015.0 * size / 224.0,
-                         tile_h=int(os.environ.get("BENCH_TILEH", "1")),
+                         tile_h=int(os.environ.get("BENCH_TILEH", "2")),
                          batch_size=batch,
-                         raster_cols=int(os.environ.get("BENCH_COLS", "4")))
+                         raster_cols=int(os.environ.get("BENCH_COLS", "8")))
     assets = synthetic_bfm(cfg, seed=0)
     bfm = device_bfm(assets)
     assert batch % micro == 0
